@@ -1,0 +1,33 @@
+"""bitdelta_tpu — a TPU-native 1-bit weight-delta compression framework.
+
+Built from scratch in JAX/XLA/Pallas with the capabilities of
+FasterDecoding/BitDelta: compress a fine-tuned LLM as
+``W_fine = W_base + scale * sign(delta)`` (1 bit per delta element plus
+one fp32 scale per matrix), refine the scales by logit distillation, and
+serve many fine-tunes from one base model with fused W16+W1 kernels.
+
+Layering (cf. SURVEY.md section 1):
+  ops/       bit packing + binary GEMMs (XLA lowering and Pallas kernels)
+  core/      delta quantization, model compression, artifacts
+  models/    JAX Llama/Mistral family + HF safetensors import
+  train/     scale distillation (jitted) + calibration data
+  eval/      strided-window perplexity
+  parallel/  mesh + sharding rules (TP/DP over named meshes)
+  serving/   multi-tenant engine + HTTP server
+"""
+
+__version__ = "0.1.0"
+
+from .core.delta import (  # noqa: F401
+    BinaryDelta,
+    apply_delta,
+    delta_linear,
+    dequantize_delta,
+    quantize_delta,
+)
+from .ops.packing import pack_signs, unpack_signs, unpack_to_pm1  # noqa: F401
+from .ops.binary_matmul import (  # noqa: F401
+    binary_bmm,
+    binary_matmul,
+    tenant_binary_matmul,
+)

@@ -1,0 +1,114 @@
+"""1-bit delta quantization core.
+
+TPU-native equivalent of the reference's ``BinaryDiff`` construction
+(reference bitdelta/diff.py:8-39): a fine-tuned weight is decomposed as
+``W_fine = W_base + delta``, the delta is quantized to
+``delta_hat = scale * sign(delta)`` with ``scale0 = mean(|delta|)`` in
+fp32, and the signs are bit-packed along K.
+
+Unlike the reference (torch ``nn.Module`` holding buffers), the delta
+here is a plain pytree (`BinaryDelta`) of packed signs + scale, so it
+jits, shards and stacks (over layers or tenants) like any other JAX
+array data.
+
+Weight convention: all matrices in this framework are stored as
+``(K_in, N_out)`` ("kernel" layout, ``y = x @ W``) — the transpose of
+HF/torch ``nn.Linear``. The reference transposes at pack time
+(diff.py:16 ``pack(mask.bool().T)``); we never store the torch layout at
+all.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.packing import pack_signs, unpack_to_pm1
+
+
+class BinaryDelta(NamedTuple):
+    """Packed 1-bit delta for one weight matrix (or a stack of them).
+
+    packed: int32 ``(*, K//32, N)`` sign bits (bit 1 <=> delta >= 0).
+    scale:  fp32 ``(*,)``-shaped per-matrix scale (trainable leaf during
+            scale distillation; the reference's ``coeff``, diff.py:18-30).
+    """
+
+    packed: jax.Array
+    scale: jax.Array
+
+    @property
+    def k(self) -> int:
+        return self.packed.shape[-2] * 32
+
+    @property
+    def n(self) -> int:
+        return self.packed.shape[-1]
+
+
+def quantize_delta(base: jax.Array, finetune: jax.Array) -> BinaryDelta:
+    """Quantize ``finetune - base`` to 1 bit + fp32 scale.
+
+    Matches reference semantics (diff.py:11-16): scale is ``mean(|diff|)``
+    computed in fp32; sign bit is 1 exactly when ``diff >= 0`` (zero maps
+    to +1).
+
+    Args:
+      base, finetune: ``(K, N)`` (or stacked ``(L, K, N)``) matrices in
+        kernel layout.
+    """
+    diff = finetune.astype(jnp.float32) - base.astype(jnp.float32)
+    scale = jnp.mean(jnp.abs(diff), axis=(-2, -1))
+    signs = diff >= 0
+    return BinaryDelta(packed=pack_signs(signs), scale=scale)
+
+
+def dequantize_delta(delta: BinaryDelta, dtype=jnp.float32) -> jax.Array:
+    """Materialize the dense ``scale * sign`` matrix ``(*, K, N)``."""
+    pm1 = unpack_to_pm1(delta.packed, jnp.float32)
+    scale = delta.scale[..., None, None] if jnp.ndim(delta.scale) else delta.scale
+    return (scale * pm1).astype(dtype)
+
+
+def apply_delta(base: jax.Array, delta: BinaryDelta) -> jax.Array:
+    """Dense fusion: ``W_base + scale * sign`` in the base dtype.
+
+    The reference uses this path for evaluation (diff.py:87-95 fuses the
+    delta back into dense weights so perplexity isolates quantization
+    error from kernel numerics); we keep the same property.
+    """
+    fused = base.astype(jnp.float32) + dequantize_delta(delta, jnp.float32)
+    return fused.astype(base.dtype)
+
+
+def delta_linear(x: jax.Array, base_w: jax.Array, delta: BinaryDelta,
+                 *, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Compressed linear layer: ``x @ W_base + scale * (x @ sign)``.
+
+    Semantics of ``BinaryDiff.forward`` (reference diff.py:33-39), with
+    the scale fused into the delta matmul. The sign matmul is expressed
+    via dense unpack so XLA fuses it and autodiff works (gradient flows
+    to ``x`` and, through ``scale``, to the distillation objective).
+    """
+    from ..ops.binary_matmul import binary_matmul
+
+    y_base = jnp.matmul(x.astype(compute_dtype), base_w.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+    y_delta = binary_matmul(x, delta.packed, delta.scale,
+                            compute_dtype=compute_dtype).astype(jnp.float32)
+    return (y_base + y_delta).astype(x.dtype)
+
+
+def delta_nbytes(delta: BinaryDelta) -> int:
+    """Size of the compressed delta in bytes (packed words + scale)."""
+    return delta.packed.size * 4 + delta.scale.size * 4
+
+
+def compression_ratio(base: jax.Array, delta: BinaryDelta,
+                      dense_bytes_per_el: int = 2) -> float:
+    """Dense-delta bytes / packed-delta bytes (reference reports ~10-16x,
+    docs/index.html:356-359)."""
+    dense = base.size * dense_bytes_per_el
+    return dense / delta_nbytes(delta)
