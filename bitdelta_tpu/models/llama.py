@@ -1,0 +1,349 @@
+"""Functional JAX decoder for the Llama/Mistral family.
+
+Owns the transformer forward pass that the reference delegated to
+HuggingFace (reference bitdelta/utils.py:80-107, train.py:70-74). Pure
+functions over a params pytree; layers are stacked on a leading axis and
+iterated with ``lax.scan`` so compile time is O(1) in depth and the
+weights shard naturally over a named mesh.
+
+Supports per-projection 1-bit deltas (single-tenant stacks for
+distillation/eval, tenant-routed stacks for multi-tenant serving) — the
+JAX-native counterpart of the reference's ``BinaryDiff`` module swap
+(diff.py:41-64) and ``DiffCompressModule`` (demo/demo_backend.py:82-98).
+
+Compressed projections: {q,k,v,o,gate,up,down}_proj — matching the
+reference's selection (diff.py:60-64). Embeddings, lm_head and norms are
+never compressed.
+
+Weight layout: every matrix is ``(K_in, N_out)`` (``y = x @ W``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .config import ModelConfig
+from ..core.delta import BinaryDelta
+from ..ops.binary_matmul import binary_matmul, tenant_binary_matmul
+
+PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
+              "gate_proj", "up_proj", "down_proj")
+
+Params = Dict[str, Any]
+Deltas = Dict[str, BinaryDelta]
+
+
+class KVCache(NamedTuple):
+    """Per-layer key/value cache. k/v: ``(L, B, S_max, KV_heads, head_dim)``;
+    length: ``(B,)`` int32 — number of valid tokens per row (right-aligned,
+    no left-padding anywhere in this framework)."""
+
+    k: jax.Array
+    v: jax.Array
+    length: jax.Array
+
+    @property
+    def max_seq(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
+               dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   length=jnp.zeros((batch,), jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
+    normed = x32 * jax.lax.rsqrt(var + eps)
+    return (normed.astype(x.dtype) * weight.astype(x.dtype))
+
+
+def rope_tables(positions: jax.Array, head_dim: int,
+                theta: float) -> tuple[jax.Array, jax.Array]:
+    """cos/sin tables, f32, shape ``(*positions.shape, head_dim)``.
+
+    HF "rotate_half" convention: frequencies over the first half are
+    duplicated into the second half.
+    """
+    half = head_dim // 2
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: ``(B, S, H, hd)``; cos/sin: ``(B, S, hd)``."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[..., None, :]
+    s = sin[..., None, :]
+    out = x.astype(jnp.float32) * c + rotated.astype(jnp.float32) * s
+    return out.astype(x.dtype)
+
+
+def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
+          tenant_ids: Optional[jax.Array], compute_dtype) -> jax.Array:
+    """Linear, optionally with a fused 1-bit delta (BinaryDiff.forward
+    semantics, reference diff.py:33-39)."""
+    y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+    if delta is not None:
+        if tenant_ids is None:
+            yd = binary_matmul(x, delta.packed, delta.scale,
+                               compute_dtype=compute_dtype)
+        else:
+            yd = tenant_binary_matmul(x, delta.packed, delta.scale,
+                                      tenant_ids, compute_dtype=compute_dtype)
+        y = y + yd.astype(jnp.float32)
+    return y.astype(compute_dtype)
+
+
+def _attention(cfg: ModelConfig, q, k, v, q_positions, kv_valid):
+    """Grouped-query attention with arbitrary key-validity mask.
+
+    q: ``(B, Sq, H, hd)``; k/v: ``(B, Sk, KV, hd)``.
+    q_positions: ``(B, Sq)`` absolute positions of the queries.
+    kv_valid: ``(B, Sk)`` bool — which cache/key slots hold real tokens.
+    Causality and Mistral sliding-window (config.sliding_window) are
+    applied on top of ``kv_valid`` using absolute positions.
+    """
+    b, sq, h, hd = q.shape
+    sk = k.shape[1]
+    groups = h // cfg.num_kv_heads
+
+    q_ = q.reshape(b, sq, cfg.num_kv_heads, groups, hd).astype(jnp.float32)
+    k_ = k.astype(jnp.float32)
+    v_ = v.astype(jnp.float32)
+
+    scores = jnp.einsum("bqkgd,bskd->bkgqs", q_, k_) / jnp.sqrt(hd).astype(jnp.float32)
+
+    key_pos = jnp.arange(sk)[None, :]                       # (1, Sk)
+    causal = key_pos[:, None, :] <= q_positions[..., None]   # (B, Sq, Sk)
+    mask = causal & kv_valid[:, None, :]
+    if cfg.sliding_window is not None:
+        in_window = key_pos[:, None, :] > (q_positions[..., None]
+                                           - cfg.sliding_window)
+        mask = mask & in_window
+    scores = jnp.where(mask[:, None, None, :, :], scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    # Fully-masked rows (padding queries) produce NaN from softmax(-inf);
+    # zero them so garbage never propagates into the cache-free path.
+    probs = jnp.where(jnp.any(mask[:, None, None, :, :], axis=-1, keepdims=True),
+                      probs, 0.0)
+    out = jnp.einsum("bkgqs,bskd->bqkgd", probs, v_)
+    return out.reshape(b, sq, h * hd).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer + full forward
+# ---------------------------------------------------------------------------
+
+def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
+               layer_deltas: Optional[Deltas], tenant_ids,
+               q_positions, kv_valid, cos, sin,
+               cache_k=None, cache_v=None, write_pos=None):
+    """One decoder block. If cache_k/v given (decode), new K/V are written
+    at ``write_pos`` per row and attention runs over the whole cache.
+    Returns (x_out, new_cache_k, new_cache_v)."""
+    p = layer_params
+    d = layer_deltas or {}
+    b, sq, _ = x.shape
+
+    def proj(name, inp):
+        return _proj(inp, p[name], d.get(name), tenant_ids, compute_dtype)
+
+    h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps)
+    q = proj("q_proj", h).reshape(b, sq, cfg.num_heads, cfg.head_dim)
+    k = proj("k_proj", h).reshape(b, sq, cfg.num_kv_heads, cfg.head_dim)
+    v = proj("v_proj", h).reshape(b, sq, cfg.num_kv_heads, cfg.head_dim)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if cache_k is not None:
+        rows = jnp.arange(b)
+        # write_pos: (B,) — scatter this step's K/V into each row's slot.
+        cache_k = cache_k.at[rows[:, None], write_pos[:, None] + jnp.arange(sq)[None, :]].set(k)
+        cache_v = cache_v.at[rows[:, None], write_pos[:, None] + jnp.arange(sq)[None, :]].set(v)
+        k_all, v_all = cache_k, cache_v
+    else:
+        k_all, v_all = k, v
+
+    attn = _attention(cfg, q, k_all, v_all, q_positions, kv_valid)
+    x = x + proj("o_proj", attn)
+
+    h = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
+    gate = proj("gate_proj", h)
+    up = proj("up_proj", h)
+    x = x + proj("down_proj", (jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up))
+    return x, cache_k, cache_v
+
+
+def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
+            lengths: Optional[jax.Array] = None,
+            deltas: Optional[Deltas] = None,
+            tenant_ids: Optional[jax.Array] = None,
+            compute_dtype=None,
+            return_cache: bool = False,
+            cache_max_seq: Optional[int] = None):
+    """Full-sequence forward (training / eval / prefill).
+
+    Args:
+      tokens: ``(B, S)`` int32, right-padded.
+      lengths: ``(B,)`` valid token counts (defaults to S for all rows).
+      deltas: optional dict proj_name -> BinaryDelta with leaves stacked
+        ``(L, ...)`` (single tenant) or ``(L, T, ...)`` with ``tenant_ids``.
+      return_cache: also return a KVCache holding this sequence's K/V
+        (for serving prefill). ``cache_max_seq`` pads the cache.
+
+    Returns ``logits (B, S, V)`` [, KVCache].
+    """
+    compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
+    b, s = tokens.shape
+    if lengths is None:
+        lengths = jnp.full((b,), s, jnp.int32)
+
+    x = params["embed"][tokens].astype(compute_dtype)
+    positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    layer_xs = params["layers"]
+    if deltas is not None:
+        layer_xs = (layer_xs, deltas)
+
+    if not return_cache:
+        kv_valid = positions < lengths[:, None]
+
+        def body(x, xs):
+            if deltas is not None:
+                lp, ld = xs
+            else:
+                lp, ld = xs, None
+            x, _, _ = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
+                                 positions, kv_valid, cos, sin)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, layer_xs)
+    else:
+        # Prefill: K/V land in slots [0, s) of a cache padded to
+        # cache_max_seq; validity covers the whole cache so attention
+        # shapes match the decode path.
+        max_seq = cache_max_seq or s
+        kv_valid = jnp.arange(max_seq)[None, :] < lengths[:, None]
+        cache_k0 = jnp.zeros((b, max_seq, cfg.num_kv_heads, cfg.head_dim),
+                             compute_dtype)
+
+        def body_cache(x, xs):
+            if deltas is not None:
+                lp, ld = xs
+            else:
+                lp, ld = xs, None
+            x, ck, cv = _layer_fwd(
+                cfg, compute_dtype, x, lp, ld, tenant_ids,
+                positions, kv_valid, cos, sin,
+                cache_k=cache_k0, cache_v=cache_k0,
+                write_pos=jnp.zeros((b,), jnp.int32))
+            return x, (ck, cv)
+
+        x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:  # tied embeddings
+        lm_head = params["embed"].T
+    logits = jnp.matmul(x.astype(compute_dtype), lm_head.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+
+    if not return_cache:
+        return logits
+    cache = KVCache(k=ks, v=vs, length=lengths)
+    return logits, cache
+
+
+def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
+                cache: KVCache, *,
+                deltas: Optional[Deltas] = None,
+                tenant_ids: Optional[jax.Array] = None,
+                compute_dtype=None):
+    """Single-token decode: tokens ``(B, 1)`` appended at each row's
+    current length. Returns ``(logits (B, 1, V), new_cache)``."""
+    compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
+    b, sq = tokens.shape
+    positions = cache.length[:, None] + jnp.arange(sq)[None, :]
+    new_length = cache.length + sq
+    slot = jnp.arange(cache.max_seq)[None, :]
+    kv_valid = slot < new_length[:, None]
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = params["embed"][tokens].astype(compute_dtype)
+
+    layer_xs = (params["layers"], cache.k, cache.v)
+    if deltas is not None:
+        layer_xs = (params["layers"], deltas, cache.k, cache.v)
+
+    def body(x, xs):
+        if deltas is not None:
+            lp, ld, ck, cv = xs
+        else:
+            lp, ck, cv = xs
+            ld = None
+        x, ck, cv = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
+                               positions, kv_valid, cos, sin,
+                               cache_k=ck, cache_v=cv,
+                               write_pos=cache.length)
+        return x, (ck, cv)
+
+    x, (ks, vs) = jax.lax.scan(body, x, layer_xs)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    lm_head = params.get("lm_head")
+    if lm_head is None:
+        lm_head = params["embed"].T
+    logits = jnp.matmul(x.astype(compute_dtype), lm_head.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+    return logits, KVCache(k=ks, v=vs, length=new_length)
+
+
+# ---------------------------------------------------------------------------
+# Parameter init (tests / benchmarks)
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, key: jax.Array,
+                dtype=jnp.float32, scale: float = 0.02) -> Params:
+    keys = iter(jax.random.split(key, 16))
+    n = lambda *shape: (jax.random.normal(next(keys), shape, jnp.float32)
+                        * scale).astype(dtype)
+    L, D, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    params = {
+        "embed": n(cfg.vocab_size, D),
+        "final_norm": jnp.ones((D,), dtype),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "mlp_norm": jnp.ones((L, D), dtype),
+            "q_proj": n(L, D, cfg.q_dim),
+            "k_proj": n(L, D, cfg.kv_dim),
+            "v_proj": n(L, D, cfg.kv_dim),
+            "o_proj": n(L, cfg.q_dim, D),
+            "gate_proj": n(L, D, I),
+            "up_proj": n(L, D, I),
+            "down_proj": n(L, I, D),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = n(D, cfg.vocab_size)
+    return params
+
+
+def param_count(params: Params) -> int:
+    return sum(x.size for x in jax.tree.leaves(params))
