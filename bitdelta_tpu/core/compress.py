@@ -1,0 +1,122 @@
+"""Whole-model compression: fine-tune -> (1-bit deltas + uncompressed extras).
+
+TPU-native counterpart of the reference's ``compress_diff``
+(reference bitdelta/diff.py:41-64): every {q,k,v,o,gate,up,down}_proj is
+replaced by a 1-bit delta against the base model; embeddings, lm_head and
+norms stay uncompressed and carry the *fine-tuned* values (the reference
+stores every ``requires_grad`` tensor of the student in the artifact,
+diff.py:75-77 — i.e. exactly these).
+
+Because our layers are stacked ``(L, K, N)``, the whole model compresses
+in a handful of vectorized quantize calls instead of a per-module Python
+walk with GC hygiene (diff.py:53-56) — there is no module tree to walk.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .delta import BinaryDelta, apply_delta, quantize_delta
+from ..models.llama import PROJ_NAMES, Params
+
+
+class CompressedModel(NamedTuple):
+    """A fine-tune expressed against a base model.
+
+    deltas: proj name -> BinaryDelta with leaves ``(L, K//32, N)`` packed
+      and ``(L,)`` scales.
+    extras: uncompressed fine-tuned tensors overriding the base params:
+      ``embed``, ``final_norm``, per-layer ``attn_norm``/``mlp_norm``,
+      and ``lm_head`` when present.
+    """
+
+    deltas: Dict[str, BinaryDelta]
+    extras: Dict[str, Any]
+
+
+def compress_model(base_params: Params,
+                   finetuned_params: Params) -> CompressedModel:
+    deltas = {
+        name: quantize_delta(base_params["layers"][name],
+                             finetuned_params["layers"][name])
+        for name in PROJ_NAMES
+    }
+    extras: Dict[str, Any] = {
+        "embed": finetuned_params["embed"],
+        "final_norm": finetuned_params["final_norm"],
+        "attn_norm": finetuned_params["layers"]["attn_norm"],
+        "mlp_norm": finetuned_params["layers"]["mlp_norm"],
+    }
+    if "lm_head" in finetuned_params:
+        extras["lm_head"] = finetuned_params["lm_head"]
+    return CompressedModel(deltas=deltas, extras=extras)
+
+
+def student_params(base_params: Params, compressed: CompressedModel) -> Params:
+    """Params for the compressed model's forward: base proj weights (the
+    delta rides on top via ``forward(deltas=...)``) with fine-tuned extras
+    overlaid."""
+    params = dict(base_params)
+    params["layers"] = dict(base_params["layers"])
+    ex = compressed.extras
+    params["embed"] = ex["embed"]
+    params["final_norm"] = ex["final_norm"]
+    params["layers"]["attn_norm"] = ex["attn_norm"]
+    params["layers"]["mlp_norm"] = ex["mlp_norm"]
+    if "lm_head" in ex:
+        params["lm_head"] = ex["lm_head"]
+    elif "lm_head" in params:
+        del params["lm_head"]
+    return params
+
+
+def fuse_compressed(base_params: Params, compressed: CompressedModel) -> Params:
+    """Dense fusion for evaluation/export: materialize
+    ``W_base + scale*sign`` into ordinary params (the reference's
+    ``load_diff`` dense path, diff.py:82-106, used by eval_ppl so PPL
+    isolates quantization error)."""
+    params = student_params(base_params, compressed)
+    params["layers"] = dict(params["layers"])
+    for name, delta in compressed.deltas.items():
+        params["layers"][name] = apply_delta(base_params["layers"][name], delta)
+    return params
+
+
+def with_scales(compressed: CompressedModel,
+                scales: Dict[str, jax.Array]) -> CompressedModel:
+    """Rebuild with distilled scales (proj name -> (L,) fp32)."""
+    deltas = {name: BinaryDelta(packed=compressed.deltas[name].packed,
+                                scale=scales[name])
+              for name in compressed.deltas}
+    return CompressedModel(deltas=deltas, extras=compressed.extras)
+
+
+def get_scales(compressed: CompressedModel) -> Dict[str, jax.Array]:
+    return {name: d.scale for name, d in compressed.deltas.items()}
+
+
+def compressed_nbytes(compressed: CompressedModel) -> int:
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree.leaves(compressed))
+
+
+def delta_compression_stats(base_params: Params,
+                            compressed: CompressedModel) -> Dict[str, float]:
+    """Reproduce the reference's headline compression accounting
+    (docs/index.html:356-359): dense fine-tune bytes vs delta artifact
+    bytes (packed signs + scales + uncompressed extras)."""
+    dense = sum(x.size * 2 for x in jax.tree.leaves(base_params))  # bf16
+    packed = sum(d.packed.size * 4 + d.scale.size * 4
+                 for d in compressed.deltas.values())
+    extras = sum(x.size * x.dtype.itemsize
+                 for x in jax.tree.leaves(compressed.extras))
+    return {
+        "dense_bytes": float(dense),
+        "delta_bytes": float(packed + extras),
+        "packed_bytes": float(packed),
+        "extras_bytes": float(extras),
+        "ratio": dense / (packed + extras),
+    }

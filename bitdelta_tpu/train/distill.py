@@ -1,0 +1,107 @@
+"""Scale distillation: refine the per-matrix delta scales against the
+fine-tuned teacher's logits.
+
+Reimplements the reference's training loop (reference
+bitdelta/train.py:60-88) as a single jitted step:
+
+  * teacher = the original fine-tune (frozen), student = base weights +
+    1-bit delta with trainable scales;
+  * loss = MSE over the full logits;
+  * AdamW (weight_decay 0.01, torch's default) with cosine-annealed lr
+    (default 1e-4 over num_steps).
+
+TPU-first differences from the reference: the *only* trainable leaves
+are the scales (the paper's stated algorithm — docs/index.html:319-338 —
+whereas the reference's optimizer incidentally received every
+requires_grad param, train.py:60); teacher and student run in the same
+jitted computation on the same mesh, so there is no device juggling or
+host-side logit transfer (the reference's P1 scheme, train.py:69-78);
+and both forwards share the base weights' HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.compress import (CompressedModel, get_scales, student_params,
+                             with_scales)
+from ..models.config import ModelConfig
+from ..models import llama
+
+
+class DistillConfig(NamedTuple):
+    lr: float = 1e-4                  # reference utils.py:21
+    num_steps: int = 100              # reference utils.py:22 (200 for 7B)
+    weight_decay: float = 0.01        # torch AdamW default used by train.py:60
+    compute_dtype: str = "bfloat16"
+
+
+def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
+                      base_params, finetuned_params,
+                      compressed: CompressedModel, optimizer,
+                      mesh=None, batch_sharding=None):
+    """Build the jitted (scales, opt_state, batch) -> (scales, opt_state,
+    loss) step. ``finetuned_params`` is the teacher; gradients flow only
+    into the scales pytree."""
+    compute_dtype = jnp.dtype(dcfg.compute_dtype)
+    s_params = student_params(base_params, compressed)
+
+    def loss_fn(scales: Dict[str, jax.Array], batch: jax.Array) -> jax.Array:
+        deltas = with_scales(compressed, scales).deltas
+        student_logits = llama.forward(cfg, s_params, batch, deltas=deltas,
+                                       compute_dtype=compute_dtype)
+        teacher_logits = jax.lax.stop_gradient(
+            llama.forward(cfg, finetuned_params, batch,
+                          compute_dtype=compute_dtype))
+        diff = (teacher_logits - student_logits).astype(jnp.float32)
+        return jnp.mean(diff * diff)
+
+    def step(scales, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(scales, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, scales)
+        scales = optax.apply_updates(scales, updates)
+        return scales, opt_state, loss
+
+    if mesh is not None:
+        from ..parallel.sharding import shard_distill_step
+        return shard_distill_step(step, mesh, batch_sharding)
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def distill_scales(cfg: ModelConfig, base_params, finetuned_params,
+                   compressed: CompressedModel, batches,
+                   dcfg: DistillConfig = DistillConfig(),
+                   mesh=None, progress: bool = False,
+                   ) -> Tuple[CompressedModel, List[float]]:
+    """Run scale distillation; returns (calibrated model, loss history).
+
+    ``batches``: array/iterable of ``(B, S)`` int32 token batches; the lr
+    schedule spans ``dcfg.num_steps`` regardless of how many batches are
+    supplied (extra batches cycle the cosine floor, matching torch's
+    CosineAnnealingLR behavior past T_max only approximately — supply
+    exactly num_steps batches for reference semantics).
+    """
+    schedule = optax.cosine_decay_schedule(dcfg.lr, dcfg.num_steps)
+    optimizer = optax.adamw(schedule, weight_decay=dcfg.weight_decay)
+    # Copy: the jitted step donates its scales argument, and the first
+    # call must not consume the caller's arrays inside ``compressed``.
+    scales = jax.tree.map(jnp.array, get_scales(compressed))
+    opt_state = optimizer.init(scales)
+
+    step = make_distill_step(cfg, dcfg, base_params, finetuned_params,
+                             compressed, optimizer, mesh=mesh)
+
+    losses: List[float] = []
+    for i, batch in enumerate(batches):
+        scales, opt_state, loss = step(scales, opt_state,
+                                       jnp.asarray(batch, jnp.int32))
+        losses.append(float(loss))
+        if progress and (i % 10 == 0 or i + 1 == len(batches)):
+            print(f"[distill] step {i}: loss {losses[-1]:.6f}", flush=True)
+    return with_scales(compressed, scales), losses
