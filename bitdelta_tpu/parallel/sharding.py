@@ -1,0 +1,127 @@
+"""Sharding rules for params, deltas, optimizer state and KV caches.
+
+Megatron-style tensor parallelism expressed as GSPMD partition specs
+over the ``(data, model)`` mesh from :mod:`.mesh`:
+
+  * column-parallel (shard N): q/k/v_proj, gate/up_proj — their outputs
+    are head-/channel-sharded, consumed locally by the row-parallel
+    partner;
+  * row-parallel (shard K): o_proj, down_proj — XLA inserts the
+    reduce-scatter/all-reduce over ICI at their outputs;
+  * packed delta masks shard exactly like their base matrices. K-axis
+    sharding of a packed mask is a contiguous slice of int32 words
+    because packing is LSB-first along K in 32-row blocks
+    (ops/packing.py; tested in tests/test_packing.py::test_k_shard_contiguity)
+    — TP never needs a repack;
+  * embed shards vocab rows, lm_head shards vocab cols (logits stay
+    vocab-sharded until the loss/sampler reduces them);
+  * KV cache shards batch over "data" and kv-heads over "model".
+
+The reference has no counterpart — its multi-GPU story is layer-wise
+model splitting via accelerate hooks (SURVEY.md section 2, P1/P2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import DATA_AXIS, MODEL_AXIS
+from ..models.config import ModelConfig
+
+COLUMN_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+ROW_PARALLEL = ("o_proj", "down_proj")
+
+
+def param_specs(cfg: ModelConfig) -> Dict[str, Any]:
+    layers = {
+        "attn_norm": P(),
+        "mlp_norm": P(),
+    }
+    for name in COLUMN_PARALLEL:
+        layers[name] = P(None, None, MODEL_AXIS)
+    for name in ROW_PARALLEL:
+        layers[name] = P(None, MODEL_AXIS, None)
+    specs = {
+        "embed": P(MODEL_AXIS, None),
+        "final_norm": P(),
+        "layers": layers,
+    }
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = P(None, MODEL_AXIS)
+    return specs
+
+
+def delta_specs(cfg: ModelConfig, tenant_stacked: bool = False) -> Dict[str, Any]:
+    """Specs for a deltas pytree {proj: BinaryDelta}.
+
+    Single-tenant leaves: packed ``(L, K//32, N)``, scale ``(L,)``.
+    Tenant-stacked (serving): packed ``(L, T, K//32, N)``, scale ``(L, T)``.
+    """
+    from ..core.delta import BinaryDelta
+
+    lead = (None, None) if tenant_stacked else (None,)
+    out = {}
+    for name in COLUMN_PARALLEL:
+        out[name] = BinaryDelta(packed=P(*lead, None, MODEL_AXIS),
+                                scale=P(*lead))
+    for name in ROW_PARALLEL:
+        out[name] = BinaryDelta(packed=P(*lead, MODEL_AXIS, None),
+                                scale=P(*lead))
+    return out
+
+
+def extras_specs(cfg: ModelConfig) -> Dict[str, Any]:
+    specs = {
+        "embed": P(MODEL_AXIS, None),
+        "final_norm": P(),
+        "attn_norm": P(),
+        "mlp_norm": P(),
+    }
+    if not cfg.tie_word_embeddings:
+        specs["lm_head"] = P(None, MODEL_AXIS)
+    return specs
+
+
+def cache_spec() -> P:
+    """KVCache k/v ``(L, B, S, KV, hd)``: batch on data, heads on model."""
+    return P(None, DATA_AXIS, None, MODEL_AXIS, None)
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS, None)
+
+
+def shard_tree(tree, specs, mesh: Mesh):
+    """device_put every leaf with its NamedSharding (committed)."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs)
+
+
+def replicated(tree, mesh: Mesh):
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def shard_model(cfg: ModelConfig, params, mesh: Mesh):
+    return shard_tree(params, param_specs(cfg), mesh)
+
+
+def shard_deltas(cfg: ModelConfig, deltas, mesh: Mesh,
+                 tenant_stacked: bool = False):
+    return shard_tree(deltas, delta_specs(cfg, tenant_stacked), mesh)
+
+
+def shard_distill_step(step_fn, mesh: Mesh, batch_sharding: Optional[P] = None):
+    """Jit a (scales, opt_state, batch) step for a mesh: scales and
+    optimizer state replicated, batch sharded over the data axis. The
+    model params captured in the closure keep their committed shardings
+    (placed via :func:`shard_model` / :func:`shard_deltas`)."""
+    bspec = batch_sharding or batch_spec()
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, None, NamedSharding(mesh, bspec)),
+        donate_argnums=(0, 1),
+    )
