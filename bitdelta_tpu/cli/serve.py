@@ -1,0 +1,103 @@
+"""Multi-tenant serving CLI.
+
+Counterpart of the reference demo backend startup (reference
+demo/demo_backend.py:21-59 + supported_models.json): load one base
+model, N delta artifacts (one per tenant), stack them, and serve
+``/models`` + ``/generate`` (streaming NDJSON).
+
+Tenants come either from repeated ``--delta name=path`` flags or a JSON
+registry file (the reference's supported_models.json shape):
+  [{"name": ..., "diff_path": ..., "system_prompt": ...}, ...]
+
+Usage:
+  python -m bitdelta_tpu.cli.serve --base_model <dir> \
+      --delta vicuna=out/vicuna/diff.safetensors \
+      --delta zephyr=out/zephyr/diff.safetensors --port 8000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax.numpy as jnp
+
+from . import args as A
+from ..core.artifact import load_delta
+from ..models.hf_import import load_hf_params
+from ..serving.engine import Engine
+from ..serving.server import ServingApp, TenantInfo, make_http_server
+from ..serving.stacking import stack_nbytes, stack_tenants
+from ..utils.tokenizer import get_tokenizer
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("bitdelta_tpu.serve")
+    A.add_model_args(p)
+    A.add_mesh_args(p)
+    p.add_argument("--delta", action="append", default=[],
+                   metavar="NAME=PATH", help="tenant delta artifact")
+    p.add_argument("--registry", type=str, default=None,
+                   help="JSON tenant registry (supported_models.json shape)")
+    p.add_argument("--tokenizer", type=str, default=None,
+                   help="tokenizer source (default: base model dir)")
+    p.add_argument("--host", type=str, default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_slots", type=int, default=8)
+    p.add_argument("--max_seq", type=int, default=1024)
+    p.add_argument("--kernel", type=str, default="auto",
+                   choices=("auto", "pallas", "xla"))
+    p.add_argument("--smoke_test", action="store_true",
+                   help="generate a few tokens from every tenant and exit")
+    args = p.parse_args(argv)
+
+    tenant_specs = []
+    for spec in args.delta:
+        name, _, path = spec.partition("=")
+        if not path:
+            raise SystemExit(f"--delta expects NAME=PATH, got {spec!r}")
+        tenant_specs.append({"name": name, "diff_path": path})
+    if args.registry:
+        with open(args.registry) as f:
+            tenant_specs.extend(json.load(f))
+    if not tenant_specs:
+        raise SystemExit("no tenants: pass --delta or --registry")
+
+    dtype = jnp.dtype(args.dtype)
+    print(f"loading base {args.base_model} ...", flush=True)
+    cfg, base = load_hf_params(args.base_model, dtype=dtype)
+
+    compressed = []
+    for spec in tenant_specs:
+        print(f"loading tenant {spec['name']} ...", flush=True)
+        comp, _ = load_delta(spec["diff_path"])
+        compressed.append(comp)
+    stack = stack_tenants(cfg, base, compressed)
+    mem = stack_nbytes(stack)
+    print(f"base {mem['base_bytes']/1e9:.2f} GB + "
+          f"{mem['per_tenant_bytes']/1e9:.3f} GB/tenant "
+          f"x {len(compressed)} tenants", flush=True)
+
+    tokenizer = get_tokenizer(args.tokenizer or args.base_model)
+    tenants = [TenantInfo(spec["name"], tokenizer,
+                          system_prompt=spec.get("system_prompt", ""))
+               for spec in tenant_specs]
+
+    engine = Engine(cfg, stack, max_slots=args.max_slots,
+                    max_seq=args.max_seq, kernel=args.kernel,
+                    compute_dtype=dtype)
+    app = ServingApp(engine, tenants)
+    if args.smoke_test:
+        for line in app.generate_stream({"prompt": "Hello",
+                                         "max_new_tokens": 4}):
+            print(line, end="", flush=True)
+        print("[smoke ok]")
+        return
+    server = make_http_server(app, args.host, args.port)
+    print(f"serving {len(tenants)} tenants on "
+          f"http://{args.host}:{args.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

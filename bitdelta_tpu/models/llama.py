@@ -62,10 +62,15 @@ def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
 # ---------------------------------------------------------------------------
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """weight: ``(D,)`` shared, or ``(B, D)`` per-row (multi-tenant
+    serving, where each tenant keeps its own fine-tuned norms)."""
     x32 = x.astype(jnp.float32)
     var = jnp.mean(x32 * x32, axis=-1, keepdims=True)
     normed = x32 * jax.lax.rsqrt(var + eps)
-    return (normed.astype(x.dtype) * weight.astype(x.dtype))
+    w = weight.astype(x.dtype)
+    if w.ndim == 2 and x.ndim == 3:
+        w = w[:, None, :]
+    return normed.astype(x.dtype) * w
 
 
 def rope_tables(positions: jax.Array, head_dim: int,
@@ -94,9 +99,25 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
-          tenant_ids: Optional[jax.Array], compute_dtype) -> jax.Array:
+          tenant_ids: Optional[jax.Array], compute_dtype,
+          kernel: str = "xla") -> jax.Array:
     """Linear, optionally with a fused 1-bit delta (BinaryDiff.forward
-    semantics, reference diff.py:33-39)."""
+    semantics, reference diff.py:33-39).
+
+    kernel="pallas" routes tenant-routed decode-shaped calls through the
+    fused Pallas kernel (ops/pallas_binary_gemm.py); anything else — or
+    shapes the kernel doesn't cover — takes the XLA lowering.
+    """
+    if (kernel == "pallas" and delta is not None and tenant_ids is not None
+            and x.shape[-2] == 1):
+        from ..ops.pallas_binary_gemm import fused_tenant_matmul_pallas
+
+        y = fused_tenant_matmul_pallas(
+            x[:, 0].astype(compute_dtype), w.astype(compute_dtype),
+            delta.packed, delta.scale, tenant_ids,
+            out_dtype=compute_dtype)
+        return y[:, None, :]
+
     y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
                    preferred_element_type=jnp.float32)
     if delta is not None:
@@ -146,6 +167,43 @@ def _attention(cfg: ModelConfig, q, k, v, q_positions, kv_valid):
     return out.reshape(b, sq, h * hd).astype(q.dtype)
 
 
+def _embed_lookup(params: Params, tokens: jax.Array,
+                  tenant_ids: Optional[jax.Array]) -> jax.Array:
+    """Token embedding; ``embed`` may be tenant-stacked ``(T, V, D)``
+    (each fine-tune keeps its own embeddings — the reference's
+    DataParallelModule case, demo/demo_backend.py:62-79)."""
+    e = params["embed"]
+    if e.ndim == 3 and tenant_ids is not None:
+        return e[tenant_ids[:, None], tokens]
+    return e[tokens]
+
+
+def _lm_head_logits(params: Params, x: jax.Array,
+                    tenant_ids: Optional[jax.Array],
+                    compute_dtype) -> jax.Array:
+    lm_head = params.get("lm_head")
+    if lm_head is None:  # tied embeddings
+        e = params["embed"]
+        lm_head = jnp.swapaxes(e, -1, -2)
+    if lm_head.ndim == 3 and tenant_ids is not None:
+        # Per-tenant head: gather rows' heads and contract. Reading each
+        # distinct tenant's (D, V) head is the inherent cost of
+        # uncompressed per-tenant heads.
+        return jnp.einsum(
+            "bsd,bdv->bsv", x.astype(compute_dtype),
+            lm_head[tenant_ids].astype(compute_dtype),
+            preferred_element_type=jnp.float32)
+    return jnp.matmul(x.astype(compute_dtype), lm_head.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def _final_norm_w(params: Params, tenant_ids: Optional[jax.Array]):
+    w = params["final_norm"]
+    if w.ndim == 2 and tenant_ids is not None:
+        return w[tenant_ids]
+    return w
+
+
 # ---------------------------------------------------------------------------
 # Decoder layer + full forward
 # ---------------------------------------------------------------------------
@@ -153,7 +211,8 @@ def _attention(cfg: ModelConfig, q, k, v, q_positions, kv_valid):
 def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
                layer_deltas: Optional[Deltas], tenant_ids,
                q_positions, kv_valid, cos, sin,
-               cache_k=None, cache_v=None, write_pos=None):
+               cache_k=None, cache_v=None, write_pos=None,
+               kernel: str = "xla"):
     """One decoder block. If cache_k/v given (decode), new K/V are written
     at ``write_pos`` per row and attention runs over the whole cache.
     Returns (x_out, new_cache_k, new_cache_v)."""
@@ -162,9 +221,16 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
     b, sq, _ = x.shape
 
     def proj(name, inp):
-        return _proj(inp, p[name], d.get(name), tenant_ids, compute_dtype)
+        return _proj(inp, p[name], d.get(name), tenant_ids, compute_dtype,
+                     kernel)
 
-    h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps)
+    def norm_w(w):
+        # (D,) shared, or tenant-stacked (T, D) selected per batch row.
+        if tenant_ids is not None and w.ndim == 2:
+            return w[tenant_ids]
+        return w
+
+    h = rms_norm(x, norm_w(p["attn_norm"]), cfg.rms_norm_eps)
     q = proj("q_proj", h).reshape(b, sq, cfg.num_heads, cfg.head_dim)
     k = proj("k_proj", h).reshape(b, sq, cfg.num_kv_heads, cfg.head_dim)
     v = proj("v_proj", h).reshape(b, sq, cfg.num_kv_heads, cfg.head_dim)
@@ -183,7 +249,7 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
     attn = _attention(cfg, q, k_all, v_all, q_positions, kv_valid)
     x = x + proj("o_proj", attn)
 
-    h = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
+    h = rms_norm(x, norm_w(p["mlp_norm"]), cfg.rms_norm_eps)
     gate = proj("gate_proj", h)
     up = proj("up_proj", h)
     x = x + proj("down_proj", (jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up))
@@ -214,7 +280,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
     if lengths is None:
         lengths = jnp.full((b,), s, jnp.int32)
 
-    x = params["embed"][tokens].astype(compute_dtype)
+    x = _embed_lookup(params, tokens, tenant_ids).astype(compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
@@ -258,12 +324,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
 
         x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    lm_head = params.get("lm_head")
-    if lm_head is None:  # tied embeddings
-        lm_head = params["embed"].T
-    logits = jnp.matmul(x.astype(compute_dtype), lm_head.astype(compute_dtype),
-                        preferred_element_type=jnp.float32)
+    x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
+    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype)
 
     if not return_cache:
         return logits
@@ -275,9 +337,12 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 cache: KVCache, *,
                 deltas: Optional[Deltas] = None,
                 tenant_ids: Optional[jax.Array] = None,
-                compute_dtype=None):
+                compute_dtype=None, kernel: str = "xla"):
     """Single-token decode: tokens ``(B, 1)`` appended at each row's
-    current length. Returns ``(logits (B, 1, V), new_cache)``."""
+    current length. Returns ``(logits (B, 1, V), new_cache)``.
+
+    kernel="pallas": route the tenant-routed projections through the
+    fused Pallas kernel (TPU serving hot path)."""
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
     b, sq = tokens.shape
     positions = cache.length[:, None] + jnp.arange(sq)[None, :]
@@ -286,7 +351,7 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
     kv_valid = slot < new_length[:, None]
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
-    x = params["embed"][tokens].astype(compute_dtype)
+    x = _embed_lookup(params, tokens, tenant_ids).astype(compute_dtype)
 
     layer_xs = (params["layers"], cache.k, cache.v)
     if deltas is not None:
@@ -301,17 +366,13 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
         x, ck, cv = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
                                positions, kv_valid, cos, sin,
                                cache_k=ck, cache_v=cv,
-                               write_pos=cache.length)
+                               write_pos=cache.length, kernel=kernel)
         return x, (ck, cv)
 
     x, (ks, vs) = jax.lax.scan(body, x, layer_xs)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    lm_head = params.get("lm_head")
-    if lm_head is None:
-        lm_head = params["embed"].T
-    logits = jnp.matmul(x.astype(compute_dtype), lm_head.astype(compute_dtype),
-                        preferred_element_type=jnp.float32)
+    x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
+    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype)
     return logits, KVCache(k=ks, v=vs, length=new_length)
 
 

@@ -1,0 +1,209 @@
+"""Pallas TPU kernels for 1-bit delta GEMMs.
+
+TPU-native replacement for the reference's Triton kernels
+(reference bitdelta/binary_gemm_kernel.py:48-335). Two kernels:
+
+  * :func:`binary_matmul_pallas` — ``C[M,N] = scale * (A[M,K] @ sign(P))``
+    with ``P`` the int32-packed sign matrix ``(K//32, N)`` (reference C2).
+
+  * :func:`fused_tenant_matmul_pallas` — the multi-tenant serving kernel
+    (reference C3 + C15, with the base GEMM and the per-matrix scale
+    fused, fixing the reference's unfused coeff, demo_backend.py:96):
+    ``Y[b] = X[b] @ W_base + scale[t_b] * (X[b] @ sign(P[t_b]))`` where
+    ``t_b = tenant_ids[b]``. Tenant routing uses scalar-prefetched ids in
+    the BlockSpec index_map, so each grid step DMAs exactly the packed
+    block it needs — no gather materialization, no per-batch mask
+    restacking (the reference restacks masks per registration,
+    demo_backend.py:127-150).
+
+Design notes (see /opt/skills/guides/pallas_guide.md):
+  * grid order puts the tenant/batch loop innermost so the shared
+    ``W_base`` tile is fetched once per (n, k) and reused for all rows —
+    this is what makes multi-tenant serving cheaper than per-tenant
+    dense serving (HBM traffic 2 + B/8 bytes/element instead of 2B);
+  * sign unpack runs on the VPU: sublane-interleaved ``jnp.repeat`` of
+    the packed word tile, mask-compare, select to ±1 bf16 feeding the
+    MXU. ~4 VPU ops per unpacked element — the kernel is VPU-bound above
+    ~4 tenants, HBM-bound below (measured; see bench.py);
+  * fp32 accumulation in VMEM scratch across the K grid dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    raise ValueError(f"dim {dim} not divisible by any of {candidates}")
+
+
+def _unpack_pm1(packed_tile: jax.Array, dtype) -> jax.Array:
+    """(K//32, N) int32 -> (K, N) ±1 ``dtype``; LSB-first along K.
+
+    bit 1 -> +1, bit 0 -> -1 (reference binary_gemm_kernel.py:272).
+    """
+    rep = jnp.repeat(packed_tile, 32, axis=0)
+    k = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 0)
+    # Arithmetic-only (Mosaic mishandles i1-mask relayouts to bf16 tiles):
+    # shift the target bit to the LSB, isolate, map {0,1} -> {-1,+1}.
+    bits = (rep >> (k % 32)) & 1
+    return (2 * bits - 1).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Single-mask kernel (distillation / prefill shapes)
+# ---------------------------------------------------------------------------
+
+def _binary_matmul_kernel(x_ref, p_ref, scale_ref, o_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    signs = _unpack_pm1(p_ref[:], x_ref.dtype)
+    acc_ref[:] += jnp.dot(x_ref[:], signs, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def binary_matmul_pallas(x: jax.Array, packed: jax.Array, scale,
+                         *, interpret: bool = False, out_dtype=None):
+    """``scale * (x @ sign(packed))`` — x ``(M, K)``, packed ``(K//32, N)``."""
+    m, kdim = x.shape
+    k32, n = packed.shape
+    assert kdim == k32 * 32, (x.shape, packed.shape)
+    out_dtype = out_dtype or x.dtype
+
+    bm = _pick_block(m, (256, 128, 64, 32, 16, 8, 4, 2, 1))
+    bk = _pick_block(kdim, (512, 256, 128, 64, 32))
+    bn = _pick_block(n, (256, 128))
+    grid = (m // bm, n // bn, kdim // bk)
+
+    scale_arr = jnp.reshape(jnp.asarray(scale, jnp.float32), (1,))
+    return pl.pallas_call(
+        _binary_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 32, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * kdim,
+            bytes_accessed=m * kdim * 2 + k32 * n * 4 + m * n * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, packed, scale_arr)
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-tenant serving kernel
+# ---------------------------------------------------------------------------
+
+def _fused_tenant_kernel(ids_ref, x_ref, w_ref, p_ref, scales_ref,
+                         o_ref, acc_ref, *, nk: int, nb: int):
+    k, b = pl.program_id(1), pl.program_id(2)
+
+    @pl.when((k == 0) & (b == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Shared base GEMM: all rows at once, once per (n, k) tile.
+    @pl.when(b == 0)
+    def _():
+        acc_ref[:] += jnp.dot(x_ref[:], w_ref[:],
+                              preferred_element_type=jnp.float32)
+
+    # Per-row 1-bit delta: the packed block for tenant ids[b] was
+    # selected by the BlockSpec index_map (scalar prefetch). Mosaic
+    # can't address a single sublane row dynamically, so compute the
+    # dot for all rows (the MXU is streaming-weight-bound at these M
+    # anyway) and mask the accumulation to row b.
+    signs = _unpack_pm1(p_ref[0], x_ref.dtype)
+    alpha = scales_ref[ids_ref[b]]
+    contrib = jnp.dot(x_ref[:], signs, preferred_element_type=jnp.float32)
+    rowmask = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0) == b
+    acc_ref[:] += jnp.where(rowmask, alpha * contrib, 0.0)
+
+    @pl.when((k == nk - 1) & (b == nb - 1))
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def fused_tenant_matmul_pallas(x: jax.Array, w_base: jax.Array,
+                               packed_stack: jax.Array, scales: jax.Array,
+                               tenant_ids: jax.Array, *,
+                               interpret: bool = False, out_dtype=None):
+    """``Y[b] = X[b] @ W + scales[ids[b]] * (X[b] @ sign(P[ids[b]]))``.
+
+    Args:
+      x: ``(B, K)`` activations (decode step: one row per sequence slot).
+      w_base: ``(K, N)`` shared base weights.
+      packed_stack: ``(T, K//32, N)`` int32 — all tenants' packed signs.
+      scales: ``(T,)`` fp32 per-tenant per-matrix scale.
+      tenant_ids: ``(B,)`` int32 in [0, T).
+    Returns ``(B, N)``.
+    """
+    bsz, kdim = x.shape
+    kw, n = w_base.shape
+    t, k32, np_ = packed_stack.shape
+    assert kw == kdim and k32 * 32 == kdim and np_ == n
+    out_dtype = out_dtype or x.dtype
+
+    bk = _pick_block(kdim, (512, 256, 128, 64, 32))
+    bn = _pick_block(n, (512, 256, 128))
+    grid = (n // bn, kdim // bk, bsz)
+    nk, nb = kdim // bk, bsz
+
+    kernel = functools.partial(_fused_tenant_kernel, nk=nk, nb=nb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bsz, bk), lambda ni, ki, bi, ids: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda ni, ki, bi, ids: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk // 32, bn),
+                         lambda ni, ki, bi, ids: (ids[bi], ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bsz, bn), lambda ni, ki, bi, ids: (0, ni),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bsz, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n * kdim * 2,
+            bytes_accessed=(kdim * n * 2          # base, once
+                            + bsz * k32 * n * 4   # one packed mask per row
+                            + bsz * kdim * 2 + bsz * n * 2),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(tenant_ids, jnp.int32), x, w_base, packed_stack,
+      jnp.asarray(scales, jnp.float32))

@@ -1,0 +1,294 @@
+"""Multi-tenant continuous-batching generation engine.
+
+Replaces the reference's lockstep demo loop (reference
+demo/demo_backend.py:190-258, where the whole batch prefills and decodes
+together and batch row i is hardwired to tenant i) with a slot-based
+engine:
+
+  * ``max_slots`` decode lanes share one KV cache; each slot carries its
+    own tenant id, length, sampling params and stop set;
+  * requests are admitted into free slots at any time (prefill into the
+    slot's cache region) and leave when finished — other slots keep
+    decoding (continuous batching);
+  * decode is ONE jitted step for the whole batch regardless of tenant
+    mix: tenant-routed 1-bit delta matmuls (Pallas fused kernel on TPU,
+    XLA elsewhere), per-tenant embeddings/norms/heads, per-slot greedy or
+    temperature sampling with per-tenant vocab masking;
+  * prefill uses a small set of bucketed sequence lengths so the number
+    of compiled programs stays bounded (the reference's pow-2 padding,
+    demo_backend.py:296-302, became a compile-budget knob).
+
+Everything device-side is functional; the Engine object only owns host
+state (slot bookkeeping) and jitted callables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models import llama
+from .stacking import TenantStack
+
+NEG_INF = float("-inf")
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_ids: List[int]
+    tenant_id: int
+    max_new_tokens: int = 128
+    temperature: float = 0.0
+    stop_token_ids: Sequence[int] = ()
+    request_id: Optional[str] = None
+
+
+@dataclasses.dataclass
+class SlotState:
+    active: bool = False
+    tenant_id: int = 0
+    request: Optional[Request] = None
+    generated: List[int] = dataclasses.field(default_factory=list)
+    prompt_len: int = 0
+
+
+@dataclasses.dataclass
+class StepEvent:
+    slot: int
+    request_id: Optional[str]
+    token: int
+    finished: bool
+    finish_reason: Optional[str] = None  # "stop" | "length" | "eos"
+
+
+class Engine:
+    def __init__(self, cfg: ModelConfig, stack: TenantStack, *,
+                 max_slots: int = 8, max_seq: int = 1024,
+                 prefill_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
+                 kernel: str = "auto", compute_dtype=None, seed: int = 0):
+        self.cfg = cfg
+        self.stack = stack
+        self.max_slots = max_slots
+        self.max_seq = max_seq
+        self.prefill_buckets = sorted(b for b in prefill_buckets
+                                      if b <= max_seq)
+        if kernel == "auto":
+            kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.kernel = kernel
+        self.compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
+
+        self.slots = [SlotState() for _ in range(max_slots)]
+        self.cache = llama.init_cache(cfg, max_slots, max_seq,
+                                      self.compute_dtype)
+        self.tenant_ids = np.zeros((max_slots,), np.int32)
+        self.temps = np.zeros((max_slots,), np.float32)
+        self._last_tokens = np.zeros((max_slots,), np.int32)
+        self._rng = jax.random.PRNGKey(seed)
+        self._lock = threading.Lock()
+        self._prefill_fns: Dict[int, callable] = {}
+        self._build_jits()
+
+    # ------------------------------------------------------------------
+    # Jitted device functions
+    # ------------------------------------------------------------------
+
+    def _build_jits(self):
+        cfg, dtype, kernel = self.cfg, self.compute_dtype, self.kernel
+        max_seq = self.max_seq
+
+        def decode_fn(params, deltas, cache, tokens, tenant_ids, temps,
+                      active, vocab_sizes, rng):
+            old_len = cache.length
+            logits, cache = llama.decode_step(
+                cfg, params, tokens, cache, deltas=deltas,
+                tenant_ids=tenant_ids, compute_dtype=dtype, kernel=kernel)
+            logits = logits[:, 0].astype(jnp.float32)  # (B, V)
+            vmask = (jnp.arange(logits.shape[-1])[None, :]
+                     < vocab_sizes[tenant_ids][:, None])
+            logits = jnp.where(vmask, logits, NEG_INF)
+            greedy = jnp.argmax(logits, axis=-1)
+            temps_safe = jnp.maximum(temps, 1e-4)[:, None]
+            sampled = jax.random.categorical(rng, logits / temps_safe, axis=-1)
+            nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+            # Inactive slots don't advance (their cache row is parked).
+            cache = cache._replace(
+                length=jnp.where(active, cache.length, old_len))
+            return nxt, cache
+
+        self._decode = jax.jit(decode_fn, donate_argnums=(2,))
+
+        def insert_fn(cache, row_k, row_v, row_len, slot):
+            return llama.KVCache(
+                k=cache.k.at[:, slot].set(row_k[:, 0]),
+                v=cache.v.at[:, slot].set(row_v[:, 0]),
+                length=cache.length.at[slot].set(row_len))
+
+        self._insert = jax.jit(insert_fn, donate_argnums=(0,))
+
+    def _prefill_jit(self, bucket: int):
+        if bucket in self._prefill_fns:
+            return self._prefill_fns[bucket]
+        cfg, dtype, max_seq = self.cfg, self.compute_dtype, self.max_seq
+
+        def prefill_fn(params, deltas, tokens, length, tenant_id,
+                       vocab_sizes):
+            logits, rowcache = llama.forward(
+                cfg, params, tokens, lengths=length, deltas=deltas,
+                tenant_ids=tenant_id, compute_dtype=dtype,
+                return_cache=True, cache_max_seq=max_seq)
+            last = logits[0, length[0] - 1].astype(jnp.float32)
+            vmask = jnp.arange(last.shape[-1]) < vocab_sizes[tenant_id[0]]
+            last = jnp.where(vmask, last, NEG_INF)
+            return last, rowcache
+
+        fn = jax.jit(prefill_fn)
+        self._prefill_fns[bucket] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # Host-side scheduling
+    # ------------------------------------------------------------------
+
+    def free_slots(self) -> List[int]:
+        return [i for i, s in enumerate(self.slots) if not s.active]
+
+    def submit(self, req: Request) -> int:
+        """Admit a request: prefill its prompt into a free slot. Returns
+        the slot index. Raises RuntimeError when full."""
+        if not (0 <= req.tenant_id < self.stack.num_tenants):
+            raise ValueError(
+                f"tenant_id {req.tenant_id} out of range "
+                f"[0, {self.stack.num_tenants})")
+        if not req.prompt_ids:
+            raise ValueError("empty prompt")
+        if len(req.prompt_ids) > self.max_seq - 1:
+            raise ValueError(f"prompt too long: {len(req.prompt_ids)} > "
+                             f"{self.max_seq - 1}")
+        with self._lock:
+            free = self.free_slots()
+            if not free:
+                raise RuntimeError("engine full")
+            slot = free[0]
+            self._admit(slot, req)
+            return slot
+
+    def _admit(self, slot: int, req: Request):
+        ids = list(req.prompt_ids)
+        bucket = next((b for b in self.prefill_buckets if b >= len(ids)),
+                      self.max_seq)
+        tokens = np.zeros((1, bucket), np.int32)
+        tokens[0, :len(ids)] = ids
+        fn = self._prefill_jit(bucket)
+        last_logits, rowcache = fn(
+            self.stack.params, self.stack.deltas, jnp.asarray(tokens),
+            jnp.asarray([len(ids)], jnp.int32),
+            jnp.asarray([req.tenant_id], jnp.int32),
+            self.stack.vocab_sizes)
+        self.cache = self._insert(self.cache, rowcache.k, rowcache.v,
+                                  jnp.int32(len(ids)), slot)
+        # First generated token comes from the prefill logits.
+        if req.temperature > 0:
+            self._rng, sub = jax.random.split(self._rng)
+            first = int(jax.random.categorical(
+                sub, last_logits / max(req.temperature, 1e-4)))
+        else:
+            first = int(jnp.argmax(last_logits))
+        st = self.slots[slot]
+        st.active = True
+        st.tenant_id = req.tenant_id
+        st.request = req
+        st.generated = [first]
+        st.prompt_len = len(ids)
+        self.tenant_ids[slot] = req.tenant_id
+        self.temps[slot] = req.temperature
+        self._last_tokens[slot] = first
+
+    def _finish_checks(self, slot: int) -> Optional[str]:
+        st = self.slots[slot]
+        req = st.request
+        tok = st.generated[-1]
+        if tok in req.stop_token_ids:
+            return "stop"
+        if len(st.generated) >= req.max_new_tokens:
+            return "length"
+        if st.prompt_len + len(st.generated) >= self.max_seq - 1:
+            return "length"
+        return None
+
+    def step(self) -> List[StepEvent]:
+        """One decode step for all active slots. Returns per-slot events
+        (token emitted this step + completion info)."""
+        with self._lock:
+            active = np.asarray([s.active for s in self.slots], bool)
+            if not active.any():
+                return []
+            # Check slots that already hit a stop/limit from prefill or
+            # the previous step.
+            events: List[StepEvent] = []
+            for i in np.nonzero(active)[0]:
+                reason = self._finish_checks(int(i))
+                if reason is not None:
+                    st = self.slots[int(i)]
+                    events.append(StepEvent(
+                        slot=int(i), request_id=st.request.request_id,
+                        token=st.generated[-1], finished=True,
+                        finish_reason=reason))
+                    st.active = False
+                    active[i] = False
+            if not active.any():
+                return events
+
+            self._rng, sub = jax.random.split(self._rng)
+            tokens = jnp.asarray(self._last_tokens[:, None])
+            nxt, self.cache = self._decode(
+                self.stack.params, self.stack.deltas, self.cache, tokens,
+                jnp.asarray(self.tenant_ids), jnp.asarray(self.temps),
+                jnp.asarray(active), self.stack.vocab_sizes, sub)
+            nxt = np.asarray(nxt)
+            for i in np.nonzero(active)[0]:
+                i = int(i)
+                st = self.slots[i]
+                st.generated.append(int(nxt[i]))
+                self._last_tokens[i] = int(nxt[i])
+                reason = self._finish_checks(i)
+                events.append(StepEvent(
+                    slot=i, request_id=st.request.request_id,
+                    token=int(nxt[i]), finished=reason is not None,
+                    finish_reason=reason))
+                if reason is not None:
+                    st.active = False
+            return events
+
+    def generate(self, requests: Sequence[Request]) -> List[List[int]]:
+        """Synchronous batch API: run all requests to completion, with
+        continuous admission as slots free up. Returns generated ids per
+        request (stop token excluded)."""
+        pending = list(enumerate(requests))
+        outputs: List[Optional[List[int]]] = [None] * len(requests)
+        slot_to_req: Dict[int, int] = {}
+
+        def admit_pending():
+            while pending and self.free_slots():
+                idx, req = pending.pop(0)
+                slot = self.submit(req)
+                slot_to_req[slot] = idx
+
+        admit_pending()
+        while slot_to_req:
+            for ev in self.step():
+                if ev.finished:
+                    idx = slot_to_req.pop(ev.slot)
+                    st = self.slots[ev.slot]
+                    gen = st.generated
+                    if ev.finish_reason == "stop":
+                        gen = gen[:-1]  # drop the stop token itself
+                    outputs[idx] = gen
+            admit_pending()
+        return outputs

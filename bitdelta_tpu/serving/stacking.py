@@ -1,0 +1,109 @@
+"""Tenant stacking: N compressed fine-tunes -> one serving pytree.
+
+Generalizes the reference's ``register_diff_compress``
+(reference demo/demo_backend.py:104-153): packed masks of all tenants are
+stacked per projection into ``(L, T, K//32, N)`` (the reference stacks
+``(T, K/32, N)`` per module), per-tenant full tensors (embed / norms /
+lm_head — the reference's DataParallelModule leaves, demo_backend.py:
+62-79) are stacked on a leading tenant axis, and vocabularies of
+different sizes are right-padded to the largest (the reference handled
+ragged vocabs with nested tensors + -inf padding; we pad weights once at
+stack time and mask logits at sampling).
+
+Unlike the reference, batch row != tenant: any row can route to any
+tenant via ``tenant_ids``, so one engine serves many concurrent requests
+per tenant (continuous batching).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.compress import CompressedModel
+from ..core.delta import BinaryDelta
+from ..models.config import ModelConfig
+from ..models.llama import PROJ_NAMES, Params
+
+
+class TenantStack(NamedTuple):
+    params: Params          # serving params (base projs + stacked extras)
+    deltas: Dict[str, BinaryDelta]  # packed (L, T, K//32, N), scale (L, T)
+    vocab_sizes: jax.Array  # (T,) int32 — true vocab per tenant
+    num_tenants: int
+
+
+def _pad_vocab(arr: jax.Array, target: int, axis: int) -> jax.Array:
+    pad = target - arr.shape[axis]
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths)
+
+
+def stack_tenants(cfg: ModelConfig, base_params: Params,
+                  tenants: Sequence[CompressedModel]) -> TenantStack:
+    """Build the serving stack from a base model + N compressed tenants."""
+    if not tenants:
+        raise ValueError("need at least one tenant")
+    t = len(tenants)
+
+    deltas = {}
+    for name in PROJ_NAMES:
+        packed = jnp.stack([c.deltas[name].packed for c in tenants], axis=1)
+        scale = jnp.stack(
+            [jnp.asarray(c.deltas[name].scale, jnp.float32) for c in tenants],
+            axis=1)
+        deltas[name] = BinaryDelta(packed=packed, scale=scale)
+
+    vocab_sizes = np.asarray([c.extras["embed"].shape[0] for c in tenants],
+                             np.int32)
+    vmax = int(vocab_sizes.max())
+
+    params: Params = {
+        "embed": jnp.stack(
+            [_pad_vocab(c.extras["embed"], vmax, 0) for c in tenants]),
+        "final_norm": jnp.stack([c.extras["final_norm"] for c in tenants]),
+        "layers": {
+            "attn_norm": jnp.stack([c.extras["attn_norm"] for c in tenants],
+                                   axis=1),
+            "mlp_norm": jnp.stack([c.extras["mlp_norm"] for c in tenants],
+                                  axis=1),
+        },
+    }
+    for name in PROJ_NAMES:
+        params["layers"][name] = base_params["layers"][name]
+
+    if all("lm_head" in c.extras for c in tenants):
+        params["lm_head"] = jnp.stack(
+            [_pad_vocab(c.extras["lm_head"], vmax, 1) for c in tenants])
+    elif any("lm_head" in c.extras for c in tenants):
+        raise ValueError("mixing tied and untied lm_head tenants")
+
+    return TenantStack(params=params, deltas=deltas,
+                       vocab_sizes=jnp.asarray(vocab_sizes),
+                       num_tenants=t)
+
+
+def stack_nbytes(stack: TenantStack) -> Dict[str, float]:
+    """Serving memory accounting: shared base vs per-tenant increments
+    (the reference's '6x Mistral-7B in <30GB' headline, README.md:18)."""
+    base = sum(stack.params["layers"][n].size
+               * stack.params["layers"][n].dtype.itemsize
+               for n in PROJ_NAMES)
+    packed = sum(d.packed.size * 4 + d.scale.size * 4
+                 for d in stack.deltas.values())
+    extras = (stack.params["embed"].size * stack.params["embed"].dtype.itemsize
+              + stack.params["final_norm"].size * stack.params["final_norm"].dtype.itemsize
+              + stack.params["layers"]["attn_norm"].size * stack.params["layers"]["attn_norm"].dtype.itemsize
+              + stack.params["layers"]["mlp_norm"].size * stack.params["layers"]["mlp_norm"].dtype.itemsize)
+    if "lm_head" in stack.params:
+        extras += (stack.params["lm_head"].size
+                   * stack.params["lm_head"].dtype.itemsize)
+    return {"base_bytes": float(base), "deltas_bytes": float(packed),
+            "tenant_extras_bytes": float(extras),
+            "per_tenant_bytes": float((packed + extras) / stack.num_tenants)}

@@ -1,0 +1,117 @@
+"""End-to-end CLI pipeline on local tiny HF checkpoints (fully offline:
+byte-tokenizer fallback + synthetic calibration)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def hf_pair(tmp_path_factory):
+    """Write a tiny random HF Llama base + perturbed fine-tune to disk."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    root = tmp_path_factory.mktemp("ckpts")
+    torch.manual_seed(0)
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=128,
+                      rms_norm_eps=1e-6, tie_word_embeddings=False)
+    base = LlamaForCausalLM(cfg).eval()
+    base.save_pretrained(root / "base", safe_serialization=True)
+
+    with torch.no_grad():
+        for name, p in base.named_parameters():
+            if "proj" in name:
+                p.add_(0.02 * torch.randn_like(p))
+    base.save_pretrained(root / "fine", safe_serialization=True)
+    return str(root / "base"), str(root / "fine"), str(root)
+
+
+def test_train_cli_end_to_end(hf_pair):
+    from bitdelta_tpu.cli.train import main
+
+    base, fine, root = hf_pair
+    out = os.path.join(root, "out")
+    main(["--base_model", base, "--finetuned_model", fine,
+          "--save_dir", out, "--num_steps", "3", "--batch_size", "2",
+          "--max_length", "16", "--dataset_name", "synthetic",
+          "--dtype", "float32", "--debug"])
+    assert os.path.exists(os.path.join(out, "diff.safetensors"))
+    assert os.path.exists(os.path.join(out, "diff_untrained.safetensors"))
+    assert os.path.exists(os.path.join(out, "corr_stddev.csv"))
+    losses = json.load(open(os.path.join(out, "train_loss.json")))
+    assert len(losses) == 3 and all(np.isfinite(losses))
+
+
+def test_artifact_feeds_eval_and_matches_hf_fusion(hf_pair):
+    # Dense-fused params from the artifact must equal directly-compressed
+    # fine-tune weights fused in memory.
+    import jax.numpy as jnp
+    from bitdelta_tpu.core.artifact import load_delta
+    from bitdelta_tpu.core.compress import fuse_compressed
+    from bitdelta_tpu.models.hf_import import load_hf_params
+
+    base, fine, root = hf_pair
+    out = os.path.join(root, "out")
+    cfg, base_params = load_hf_params(base, dtype=jnp.float32)
+    comp, art_cfg = load_delta(os.path.join(out, "diff_untrained.safetensors"))
+    assert art_cfg.num_layers == cfg.num_layers
+    fused = fuse_compressed(base_params, comp)
+
+    from bitdelta_tpu.core.compress import compress_model
+    _, fine_params = load_hf_params(fine, dtype=jnp.float32)
+    want = fuse_compressed(base_params,
+                           compress_model(base_params, fine_params))
+    np.testing.assert_allclose(
+        np.asarray(fused["layers"]["q_proj"]),
+        np.asarray(want["layers"]["q_proj"]), rtol=1e-6)
+
+
+def test_serve_cli_smoke(hf_pair, capsys):
+    from bitdelta_tpu.cli.serve import main
+
+    base, fine, root = hf_pair
+    out = os.path.join(root, "out")
+    main(["--base_model", base,
+          "--delta", f"tuned={os.path.join(out, 'diff.safetensors')}",
+          "--dtype", "float32", "--kernel", "xla", "--max_seq", "64",
+          "--smoke_test"])
+    captured = capsys.readouterr().out
+    assert "[smoke ok]" in captured
+    lines = [json.loads(l) for l in captured.splitlines()
+             if l.startswith("{")]
+    assert any(l["done"] for l in lines)
+
+
+def test_export_full_model_roundtrip(hf_pair, tmp_path):
+    # save_full_model output must load back through our own HF importer
+    # AND through transformers.
+    import jax.numpy as jnp
+    from bitdelta_tpu.core.artifact import load_delta
+    from bitdelta_tpu.core.compress import fuse_compressed
+    from bitdelta_tpu.core.export import save_full_model
+    from bitdelta_tpu.models.hf_import import load_hf_params
+
+    base, fine, root = hf_pair
+    out = os.path.join(root, "out")
+    cfg, base_params = load_hf_params(base, dtype=jnp.float32)
+    comp, _ = load_delta(os.path.join(out, "diff.safetensors"))
+    fused = fuse_compressed(base_params, comp)
+    export_dir = str(tmp_path / "exported")
+    save_full_model(cfg, fused, export_dir)
+
+    cfg2, params2 = load_hf_params(export_dir, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(params2["layers"]["down_proj"]),
+                               np.asarray(fused["layers"]["down_proj"]),
+                               rtol=1e-6)
+
+    import torch
+    from transformers import AutoModelForCausalLM
+    hf_model = AutoModelForCausalLM.from_pretrained(export_dir)
+    w = hf_model.model.layers[0].mlp.down_proj.weight.detach().numpy()
+    np.testing.assert_allclose(w.T, np.asarray(fused["layers"]["down_proj"][0]),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,87 @@
+"""Pallas kernel correctness vs the XLA lowering (interpret mode on CPU;
+the same tests run compiled on real TPU via bench/verify drives).
+
+Mirrors the reference's kernel validation strategy (notebook cell
+comparing Triton vs torch.matmul(a, 2b-1); SURVEY.md section 4) but as
+actual pytest property tests.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bitdelta_tpu.ops.packing import pack_signs
+from bitdelta_tpu.ops.binary_matmul import binary_matmul, tenant_binary_matmul
+from bitdelta_tpu.ops.pallas_binary_gemm import (
+    binary_matmul_pallas,
+    fused_tenant_matmul_pallas,
+)
+
+INTERP = jax.default_backend() != "tpu"
+
+
+@pytest.mark.parametrize("m,k,n", [(8, 64, 128), (16, 512, 256), (1, 128, 128)])
+def test_binary_matmul_pallas_matches_xla(m, k, n):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    signs = rng.integers(0, 2, (k, n)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    got = np.asarray(binary_matmul_pallas(x, packed, 0.7, interpret=INTERP))
+    want = np.asarray(binary_matmul(x, packed, 0.7, compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_binary_matmul_pallas_bf16():
+    rng = np.random.default_rng(1)
+    m, k, n = 8, 256, 128
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    packed = pack_signs(jnp.asarray(rng.integers(0, 2, (k, n)).astype(bool)))
+    got = np.asarray(binary_matmul_pallas(x, packed, 1.3,
+                                          interpret=INTERP).astype(jnp.float32))
+    want = np.asarray(binary_matmul(x, packed, 1.3).astype(jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("bsz,t,k,n", [(4, 3, 64, 128), (8, 6, 512, 256),
+                                       (2, 2, 128, 512)])
+def test_fused_tenant_matmul_matches_xla(bsz, t, k, n):
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((bsz, k)), jnp.float32)
+    w = jnp.asarray(0.1 * rng.standard_normal((k, n)), jnp.float32)
+    signs = rng.integers(0, 2, (t, k, n)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    scales = jnp.asarray(rng.uniform(0.1, 2.0, (t,)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, t, (bsz,)), jnp.int32)
+
+    got = np.asarray(fused_tenant_matmul_pallas(x, w, packed, scales, ids,
+                                                interpret=INTERP))
+    base = np.asarray(x) @ np.asarray(w)
+    delta = np.asarray(tenant_binary_matmul(x[:, None, :], packed, scales, ids,
+                                            compute_dtype=jnp.float32))[:, 0]
+    np.testing.assert_allclose(got, base + delta, rtol=1e-4, atol=1e-4)
+
+
+def test_fused_tenant_repeated_ids_share_mask():
+    # Multiple batch rows on the same tenant must all use that tenant's
+    # mask (the continuous-batching case the reference demo can't do —
+    # its batch row i is hardwired to tenant i, demo_backend.py:127-150).
+    rng = np.random.default_rng(3)
+    bsz, t, k, n = 6, 2, 64, 128
+    x = jnp.asarray(rng.standard_normal((bsz, k)), jnp.float32)
+    w = jnp.zeros((k, n), jnp.float32)
+    signs = rng.integers(0, 2, (t, k, n)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    scales = jnp.ones((t,), jnp.float32)
+    ids = jnp.asarray([0, 0, 1, 1, 0, 1], jnp.int32)
+    got = np.asarray(fused_tenant_matmul_pallas(x, w, packed, scales, ids,
+                                                interpret=INTERP))
+    for b in range(bsz):
+        want = np.asarray(x)[b] @ np.where(signs[int(ids[b])], 1.0, -1.0)
+        np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-4)
+
+
+def test_pick_block_rejects_bad_dims():
+    from bitdelta_tpu.ops.pallas_binary_gemm import _pick_block
+    with pytest.raises(ValueError):
+        _pick_block(100, (512, 256, 128))

@@ -1,0 +1,86 @@
+"""HTTP server tests: drive /models and /generate over a real socket."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bitdelta_tpu.serving.engine import Engine
+from bitdelta_tpu.serving.server import (ByteTokenizer, ServingApp,
+                                         TenantInfo, make_http_server)
+
+
+@pytest.fixture(scope="module")
+def served_app():
+    from tests.test_serving import _make_world
+
+    cfg, base, tenants, stack = _make_world(num_tenants=2, vocab=258 + 30)
+    eng = Engine(cfg, stack, max_slots=4, max_seq=64, prefill_buckets=(32,),
+                 kernel="xla")
+    tok = ByteTokenizer()
+    app = ServingApp(eng, [TenantInfo("alpha", tok, stop_token_ids=()),
+                           TenantInfo("beta", tok, stop_token_ids=())])
+    server = make_http_server(app, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}", app
+    server.shutdown()
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    return urllib.request.urlopen(req, timeout=600)
+
+
+def test_models_endpoint(served_app):
+    url, _ = served_app
+    with urllib.request.urlopen(url + "/models", timeout=60) as r:
+        data = json.loads(r.read())
+    assert data == {"models": ["alpha", "beta"]}
+
+
+def test_generate_single_tenant_stream(served_app):
+    url, _ = served_app
+    with _post(url, {"prompt": "hi", "tenant": "alpha",
+                     "max_new_tokens": 4}) as r:
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        lines = [json.loads(l) for l in r.read().splitlines()]
+    assert len(lines) == 4
+    assert all(l["tenant"] == "alpha" for l in lines)
+    assert lines[-1]["done"] is True
+    assert isinstance(lines[-1]["text"], str)
+
+
+def test_generate_broadcast_all_tenants(served_app):
+    # Reference demo parity: no tenant -> every tenant answers in one batch.
+    url, _ = served_app
+    with _post(url, {"messages": [{"role": "user", "content": "hey"}],
+                     "max_new_tokens": 3}) as r:
+        lines = [json.loads(l) for l in r.read().splitlines()]
+    seen = {l["tenant"] for l in lines}
+    assert seen == {"alpha", "beta"}
+    done = [l for l in lines if l["done"]]
+    assert len(done) == 2
+
+
+def test_generate_bad_requests(served_app):
+    url, _ = served_app
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, {"prompt": "x", "tenant": "nope"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, {"tenant": "alpha"})
+    assert e.value.code == 400
+
+
+def test_unknown_route(served_app):
+    url, _ = served_app
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(url + "/nope", timeout=60)
+    assert e.value.code == 404
