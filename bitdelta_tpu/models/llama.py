@@ -110,13 +110,17 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
     """
     if (kernel == "pallas" and delta is not None and tenant_ids is not None
             and x.shape[-2] == 1):
-        from ..ops.pallas_binary_gemm import fused_tenant_matmul_pallas
+        # Decode hot path: XLA base matmul (HBM-roofline at small M) +
+        # VPU bit-plane delta kernel (ops/pallas_binary_gemm.py notes).
+        from ..ops.pallas_binary_gemm import tenant_delta_matmul_pallas
 
-        y = fused_tenant_matmul_pallas(
-            x[:, 0].astype(compute_dtype), w.astype(compute_dtype),
-            delta.packed, delta.scale, tenant_ids,
-            out_dtype=compute_dtype)
-        return y[:, None, :]
+        y = jnp.matmul(x[:, 0].astype(compute_dtype),
+                       w.astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+        yd = tenant_delta_matmul_pallas(
+            x[:, 0].astype(compute_dtype), delta.packed, delta.scale,
+            tenant_ids, out_dtype=jnp.float32)
+        return (y + yd).astype(compute_dtype)[:, None, :]
 
     y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
                    preferred_element_type=jnp.float32)

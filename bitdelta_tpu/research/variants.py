@@ -1,0 +1,109 @@
+"""Delta-fidelity research variants.
+
+JAX counterparts of the reference's experimental compressors:
+
+  * :class:`LoRADelta` — low-rank SVD delta baseline (reference
+    bitdelta/misc.py:128-138 ``LoRADiff`` with rank-16
+    ``torch.svd_lowrank``; fusion path diff.py:99-104, full experiment in
+    notebooks/compression_lora.ipynb).
+  * :class:`TernaryDelta` — quantile-thresholded {-1, 0, +1} delta with a
+    trainable scale, and the ``binary_median`` variant using the median
+    rather than the mean (reference notebooks/compression_ternary.ipynb;
+    docs/index.html:459-476 "varying the fidelity of the delta").
+
+Each variant provides quantize / dequantize / apply so it can slot into
+the same evaluation harness as the 1-bit delta.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LoRADelta(NamedTuple):
+    """Rank-r factorization of the delta: ``delta ~ A @ B``.
+    A: ``(K, r)``, B: ``(r, N)``."""
+
+    a: jax.Array
+    b: jax.Array
+
+
+def quantize_lora(base: jax.Array, finetune: jax.Array,
+                  rank: int = 16) -> LoRADelta:
+    diff = (finetune.astype(jnp.float32) - base.astype(jnp.float32))
+    # Full SVD truncated to rank (jnp has no randomized svd_lowrank; the
+    # exact truncation is a strictly better baseline).
+    u, s, vt = jnp.linalg.svd(diff, full_matrices=False)
+    r = min(rank, s.shape[0])
+    a = u[:, :r] * s[:r][None, :]
+    return LoRADelta(a=a, b=vt[:r, :])
+
+
+def dequantize_lora(delta: LoRADelta, dtype=jnp.float32) -> jax.Array:
+    return jnp.matmul(delta.a, delta.b,
+                      preferred_element_type=jnp.float32).astype(dtype)
+
+
+def apply_lora(base: jax.Array, delta: LoRADelta) -> jax.Array:
+    return (base.astype(jnp.float32)
+            + dequantize_lora(delta)).astype(base.dtype)
+
+
+def lora_nbytes(delta: LoRADelta) -> int:
+    return (delta.a.size + delta.b.size) * delta.a.dtype.itemsize
+
+
+class TernaryDelta(NamedTuple):
+    """{-1, 0, +1} delta: two packed sign planes + fp32 scale.
+
+    plus / minus are int32-packed boolean masks (ops/packing layout):
+    value = scale * (plus - minus).
+    """
+
+    plus: jax.Array
+    minus: jax.Array
+    scale: jax.Array
+
+
+def quantize_ternary(base: jax.Array, finetune: jax.Array,
+                     fraction: float = 0.5,
+                     binary_median: bool = False) -> TernaryDelta:
+    """Keep the largest-|delta| ``fraction`` of entries as +/-1, zero the
+    rest; scale = mean |delta| over kept entries.
+
+    ``binary_median=True`` reproduces the notebook's binary-with-median
+    variant: threshold at |delta|'s median (fraction=0.5) but assign
+    sign to every entry (no zeros).
+    """
+    from ..ops.packing import pack_signs
+
+    diff = finetune.astype(jnp.float32) - base.astype(jnp.float32)
+    mag = jnp.abs(diff)
+    if binary_median:
+        scale = jnp.median(mag)
+        plus = diff >= 0
+        minus = diff < 0
+    else:
+        thresh = jnp.quantile(mag, 1.0 - fraction)
+        keep = mag >= thresh
+        scale = jnp.sum(mag * keep) / jnp.maximum(jnp.sum(keep), 1)
+        plus = keep & (diff >= 0)
+        minus = keep & (diff < 0)
+    return TernaryDelta(plus=pack_signs(plus), minus=pack_signs(minus),
+                        scale=scale.astype(jnp.float32))
+
+
+def dequantize_ternary(delta: TernaryDelta, dtype=jnp.float32) -> jax.Array:
+    from ..ops.packing import unpack_signs
+
+    plus = unpack_signs(delta.plus).astype(jnp.float32)
+    minus = unpack_signs(delta.minus).astype(jnp.float32)
+    return (delta.scale * (plus - minus)).astype(dtype)
+
+
+def apply_ternary(base: jax.Array, delta: TernaryDelta) -> jax.Array:
+    return (base.astype(jnp.float32)
+            + dequantize_ternary(delta)).astype(base.dtype)

@@ -173,7 +173,16 @@ def make_http_server(app: ServingApp, host: str = "0.0.0.0",
             pass
 
         def do_GET(self):
-            if self.path == "/models":
+            if self.path in ("/", "/index.html"):
+                from .frontend import INDEX_HTML
+
+                payload = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+            elif self.path == "/models":
                 payload = json.dumps({"models": app.model_names()}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

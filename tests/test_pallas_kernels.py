@@ -81,6 +81,41 @@ def test_fused_tenant_repeated_ids_share_mask():
         np.testing.assert_allclose(got[b], want, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("bsz,t,k,n", [(4, 3, 64, 128), (6, 6, 1024, 256)])
+def test_tenant_delta_vpu_kernel_matches_xla(bsz, t, k, n):
+    from bitdelta_tpu.ops.pallas_binary_gemm import tenant_delta_matmul_pallas
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((bsz, k)), jnp.float32)
+    signs = rng.integers(0, 2, (t, k, n)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    scales = jnp.asarray(rng.uniform(0.1, 2.0, (t,)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, t, (bsz,)), jnp.int32)
+    got = np.asarray(tenant_delta_matmul_pallas(x, packed, scales, ids,
+                                                interpret=INTERP))
+    want = np.asarray(tenant_binary_matmul(x[:, None, :], packed, scales, ids,
+                                           compute_dtype=jnp.float32))[:, 0]
+    # x is quantized to a 14-bit grid inside the kernel.
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3 * np.abs(want).max())
+
+
+def test_tenant_delta_vpu_kernel_bf16_inputs():
+    from bitdelta_tpu.ops.pallas_binary_gemm import tenant_delta_matmul_pallas
+
+    rng = np.random.default_rng(5)
+    bsz, t, k, n = 2, 2, 256, 128
+    x = jnp.asarray(rng.standard_normal((bsz, k)), jnp.bfloat16)
+    packed = pack_signs(jnp.asarray(rng.integers(0, 2, (t, k, n)).astype(bool)))
+    scales = jnp.ones((t,), jnp.float32)
+    ids = jnp.asarray([0, 1], jnp.int32)
+    got = np.asarray(tenant_delta_matmul_pallas(
+        x, packed, scales, ids, interpret=INTERP).astype(jnp.float32))
+    want = np.asarray(tenant_binary_matmul(
+        x[:, None, :], packed, scales, ids,
+        compute_dtype=jnp.float32))[:, 0].astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * np.abs(want).max())
+
+
 def test_pick_block_rejects_bad_dims():
     from bitdelta_tpu.ops.pallas_binary_gemm import _pick_block
     with pytest.raises(ValueError):

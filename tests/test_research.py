@@ -1,0 +1,148 @@
+"""Tests for research-sidecar variants (LoRA / ternary / quantized base /
+Mixtral MoE deltas)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from bitdelta_tpu.research.variants import (
+    apply_lora, apply_ternary, dequantize_ternary, lora_nbytes,
+    quantize_lora, quantize_ternary)
+from bitdelta_tpu.research.quantized_base import (
+    dequantize_int8, int8_delta_linear, int8_matmul, quantize_base_with_delta,
+    quantize_int8)
+from bitdelta_tpu.research.mixtral_moe import (
+    compress_experts, compress_moe_ffn, moe_compression_ratio, moe_ffn_apply)
+
+
+def _pair(k=64, n=48, seed=0, eps=0.05):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((k, n)).astype(np.float32)
+    fine = base + eps * rng.standard_normal((k, n)).astype(np.float32)
+    return jnp.asarray(base), jnp.asarray(fine)
+
+
+def test_lora_recovers_low_rank_delta_exactly():
+    rng = np.random.default_rng(1)
+    base = jnp.asarray(rng.standard_normal((64, 48)), jnp.float32)
+    a = rng.standard_normal((64, 4)).astype(np.float32)
+    b = rng.standard_normal((4, 48)).astype(np.float32)
+    fine = base + jnp.asarray(a @ b)
+    d = quantize_lora(base, fine, rank=8)
+    np.testing.assert_allclose(np.asarray(apply_lora(base, d)),
+                               np.asarray(fine), rtol=1e-4, atol=1e-4)
+    assert lora_nbytes(d) < 64 * 48 * 4
+
+
+def test_lora_beats_rank_truncation_floor():
+    base, fine = _pair(seed=2)
+    d = quantize_lora(base, fine, rank=16)
+    err = np.abs(np.asarray(apply_lora(base, d)) - np.asarray(fine)).mean()
+    base_err = np.abs(np.asarray(base) - np.asarray(fine)).mean()
+    assert err < base_err
+
+
+def test_ternary_sparsity_and_reconstruction():
+    base, fine = _pair(seed=3)
+    d = quantize_ternary(base, fine, fraction=0.5)
+    dense = np.asarray(dequantize_ternary(d))
+    nonzero = (dense != 0).mean()
+    assert 0.4 < nonzero < 0.6  # ~half kept
+    err = np.abs(np.asarray(apply_ternary(base, d)) - np.asarray(fine)).mean()
+    assert err < np.abs(np.asarray(base) - np.asarray(fine)).mean()
+
+
+def test_ternary_binary_median_has_no_zeros():
+    base, fine = _pair(seed=4)
+    d = quantize_ternary(base, fine, binary_median=True)
+    dense = np.asarray(dequantize_ternary(d))
+    assert (dense != 0).all()
+    # median scale, not mean
+    diff = np.asarray(fine) - np.asarray(base)
+    np.testing.assert_allclose(float(d.scale), np.median(np.abs(diff)),
+                               rtol=1e-5)
+
+
+def test_int8_quantization_roundtrip_error_small():
+    base, _ = _pair(seed=5)
+    q = quantize_int8(base)
+    deq = np.asarray(dequantize_int8(q))
+    assert q.q.dtype == jnp.int8
+    err = np.abs(deq - np.asarray(base)).max()
+    assert err <= np.abs(np.asarray(base)).max() / 127.0 + 1e-6
+
+
+def test_int8_matmul_matches_dequantized_dense():
+    base, _ = _pair(seed=6)
+    q = quantize_int8(base)
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((4, 64)),
+                    jnp.float32)
+    got = np.asarray(int8_matmul(x, q, compute_dtype=jnp.float32))
+    want = np.asarray(x) @ np.asarray(dequantize_int8(q))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_w8_plus_w1_beats_w8_alone():
+    base, fine = _pair(seed=7, eps=0.1)
+    qbase, delta = quantize_base_with_delta(base, fine)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((8, 64)),
+                    jnp.float32)
+    y_fine = np.asarray(x @ fine)
+    y_q = np.asarray(int8_matmul(x, qbase, compute_dtype=jnp.float32))
+    y_qd = np.asarray(int8_delta_linear(x, qbase, delta,
+                                        compute_dtype=jnp.float32))
+    assert np.abs(y_qd - y_fine).mean() < np.abs(y_q - y_fine).mean()
+
+
+def test_moe_expert_compression():
+    rng = np.random.default_rng(8)
+    mean = rng.standard_normal((64, 32)).astype(np.float32)
+    experts = jnp.asarray(mean[None] + 0.05 * rng.standard_normal(
+        (4, 64, 32)).astype(np.float32))
+    fam = compress_experts(experts)
+    assert fam.delta.packed.shape == (4, 2, 32)
+    # Each compressed expert approximates its original better than the
+    # mean expert does.
+    from bitdelta_tpu.core.delta import apply_delta, BinaryDelta
+    for e in range(4):
+        d = BinaryDelta(packed=fam.delta.packed[e], scale=fam.delta.scale[e])
+        rec = np.asarray(apply_delta(fam.mean_w, d))
+        err = np.abs(rec - np.asarray(experts[e])).mean()
+        mean_err = np.abs(np.asarray(fam.mean_w) - np.asarray(experts[e])).mean()
+        assert err < mean_err
+    assert moe_compression_ratio(experts, fam) > 2.5
+
+
+def test_moe_ffn_routing_matches_dense_experts():
+    rng = np.random.default_rng(9)
+    e, k, i, m = 4, 64, 96, 5
+    mean1 = rng.standard_normal((k, i)).astype(np.float32) * 0.1
+    w1 = jnp.asarray(mean1[None] + 0.01 * rng.standard_normal((e, k, i)).astype(np.float32))
+    mean3 = rng.standard_normal((k, i)).astype(np.float32) * 0.1
+    w3 = jnp.asarray(mean3[None] + 0.01 * rng.standard_normal((e, k, i)).astype(np.float32))
+    mean2 = rng.standard_normal((i, k)).astype(np.float32) * 0.1
+    w2 = jnp.asarray(mean2[None] + 0.01 * rng.standard_normal((e, i, k)).astype(np.float32))
+    ffn = compress_moe_ffn(w1, w3, w2)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    logits = jnp.asarray(rng.standard_normal((m, e)).astype(np.float32))
+    out = moe_ffn_apply(x, ffn, logits, top_k=2, compute_dtype=jnp.float32)
+    assert out.shape == (m, k)
+
+    # Reference: dense experts reconstructed from the compressed family.
+    from bitdelta_tpu.core.delta import apply_delta, BinaryDelta
+    def rec(fam):
+        return np.stack([np.asarray(apply_delta(
+            fam.mean_w, BinaryDelta(fam.delta.packed[j], fam.delta.scale[j])))
+            for j in range(e)])
+    r1, r3, r2 = rec(ffn.w1), rec(ffn.w3), rec(ffn.w2)
+    import scipy.special  # noqa: F401  (not needed; manual softmax below)
+    topv, topi = jax.lax.top_k(logits, 2)
+    gates = np.asarray(jax.nn.softmax(topv, -1))
+    want = np.zeros((m, k), np.float32)
+    for mi in range(m):
+        for j in range(2):
+            ei = int(topi[mi, j])
+            h = (np.asarray(x)[mi] @ r1[ei])
+            h = h / (1 + np.exp(-h)) * (np.asarray(x)[mi] @ r3[ei])
+            want[mi] += gates[mi, j] * (h @ r2[ei])
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)

@@ -79,6 +79,13 @@ def test_generate_bad_requests(served_app):
     assert e.value.code == 400
 
 
+def test_frontend_page(served_app):
+    url, _ = served_app
+    with urllib.request.urlopen(url + "/", timeout=60) as r:
+        html = r.read().decode()
+    assert "bitdelta-tpu" in html and "/generate" in html
+
+
 def test_unknown_route(served_app):
     url, _ = served_app
     with pytest.raises(urllib.error.HTTPError) as e:
