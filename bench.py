@@ -46,7 +46,7 @@ from bitdelta_tpu.models.config import ModelConfig
 from bitdelta_tpu.models import llama
 
 NUM_LAYERS = int(os.environ.get("BENCH_LAYERS", "8"))
-TENANTS = int(os.environ.get("BENCH_TENANTS", "6"))
+TENANTS = int(os.environ.get("BENCH_TENANTS", "8"))  # reference ablation B=8
 STEPS = int(os.environ.get("BENCH_STEPS", "64"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
 MAX_SEQ = 256

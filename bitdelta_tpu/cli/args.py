@@ -44,6 +44,8 @@ def add_ppl_args(p: argparse.ArgumentParser):
     p.add_argument("--window_size", type=int, default=512)
     p.add_argument("--model_diff", type=str, default=None,
                    help="delta artifact (.safetensors); omit = eval base")
+    p.add_argument("--text_file", type=str, default=None,
+                   help="offline corpus file instead of an HF dataset")
     p.add_argument("--save_dir", type=str, default=".")
 
 

@@ -40,10 +40,14 @@ def main(argv=None):
         params = fuse_compressed(params, comp)
 
     tokenizer = get_tokenizer(args.base_model)
-    from datasets import load_dataset
-    ds = load_dataset(args.dataset_name, args.subset, split=args.split,
-                      streaming=True).take(args.num_eval_samples)
-    texts = [s["text"] for s in ds]
+    if getattr(args, "text_file", None):
+        with open(args.text_file) as f:
+            texts = [f.read()]
+    else:
+        from datasets import load_dataset
+        ds = load_dataset(args.dataset_name, args.subset, split=args.split,
+                          streaming=True).take(args.num_eval_samples)
+        texts = [s["text"] for s in ds]
     token_ids = tokenize_corpus(tokenizer, texts)
 
     ppl = eval_ppl(cfg, params, token_ids,

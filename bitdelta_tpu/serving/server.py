@@ -46,6 +46,12 @@ class ByteTokenizer:
         return bytes(i - 1 for i in ids
                      if 1 <= i <= 256).decode("utf-8", errors="replace")
 
+    def __call__(self, text, **kw):
+        # HF-tokenizer-call compatibility (eval corpus tokenization).
+        if isinstance(text, str):
+            return {"input_ids": self.encode(text)}
+        return {"input_ids": [self.encode(t) for t in text]}
+
 
 def render_chat(tokenizer, messages: List[dict], system_prompt: str = "") -> str:
     if hasattr(tokenizer, "apply_chat_template"):

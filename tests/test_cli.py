@@ -16,7 +16,7 @@ def hf_pair(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("ckpts")
     torch.manual_seed(0)
-    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+    cfg = LlamaConfig(vocab_size=320, hidden_size=64, intermediate_size=128,
                       num_hidden_layers=2, num_attention_heads=4,
                       num_key_value_heads=2, max_position_embeddings=128,
                       rms_norm_eps=1e-6, tie_word_embeddings=False)
@@ -85,6 +85,22 @@ def test_serve_cli_smoke(hf_pair, capsys):
     lines = [json.loads(l) for l in captured.splitlines()
              if l.startswith("{")]
     assert any(l["done"] for l in lines)
+
+
+def test_eval_ppl_cli_offline(hf_pair, tmp_path, capsys):
+    from bitdelta_tpu.cli.eval_ppl import main
+
+    base, fine, root = hf_pair
+    out = os.path.join(root, "out")
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("the quick brown fox jumps over the lazy dog. " * 400)
+    main(["--base_model", base, "--model_diff",
+          os.path.join(out, "diff.safetensors"),
+          "--text_file", str(corpus), "--context_size", "64",
+          "--window_size", "32", "--dtype", "float32",
+          "--save_dir", str(tmp_path)])
+    ppl = float(open(tmp_path / "ppl.txt").read())
+    assert np.isfinite(ppl) and ppl > 0
 
 
 def test_export_full_model_roundtrip(hf_pair, tmp_path):
