@@ -122,6 +122,21 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
             tenant_ids, out_dtype=jnp.float32)
         return (y + yd).astype(compute_dtype)[:, None, :]
 
+    if (kernel == "pallas" and delta is not None and tenant_ids is not None
+            and x.shape[0] == 1):
+        # Single-request prefill (M = sequence length): the MXU kernel's
+        # home turf — weight-load amortizes at M >= 128, and the in-VMEM
+        # unpack avoids XLA's dense-mask materialization.
+        from ..ops.pallas_binary_gemm import binary_matmul_pallas
+
+        packed_t = delta.packed[tenant_ids[0]]
+        scale_t = delta.scale[tenant_ids[0]]
+        y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+        yd = binary_matmul_pallas(x[0].astype(compute_dtype), packed_t,
+                                  scale_t, out_dtype=jnp.float32)
+        return (y + yd[None].astype(jnp.float32)).astype(compute_dtype)
+
     y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
                    preferred_element_type=jnp.float32)
     if delta is not None:
@@ -266,7 +281,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
             tenant_ids: Optional[jax.Array] = None,
             compute_dtype=None,
             return_cache: bool = False,
-            cache_max_seq: Optional[int] = None):
+            cache_max_seq: Optional[int] = None,
+            kernel: str = "xla"):
     """Full-sequence forward (training / eval / prefill).
 
     Args:
@@ -301,7 +317,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
             else:
                 lp, ld = xs, None
             x, _, _ = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
-                                 positions, kv_valid, cos, sin)
+                                 positions, kv_valid, cos, sin,
+                                 kernel=kernel)
             return x, None
 
         x, _ = jax.lax.scan(body, x, layer_xs)
@@ -323,7 +340,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
                 cfg, compute_dtype, x, lp, ld, tenant_ids,
                 positions, kv_valid, cos, sin,
                 cache_k=cache_k0, cache_v=cache_k0,
-                write_pos=jnp.zeros((b,), jnp.int32))
+                write_pos=jnp.zeros((b,), jnp.int32), kernel=kernel)
             return x, (ck, cv)
 
         x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)

@@ -88,7 +88,7 @@ def binary_matmul_pallas(x: jax.Array, packed: jax.Array, scale,
 
     bm = _pick_block(m, (256, 128, 64, 32, 16, 8, 4, 2, 1))
     bk = _pick_block(kdim, (512, 256, 128, 64, 32))
-    bn = _pick_block(n, (256, 128))
+    bn = _pick_block(n, (256, 128, 64, 32, 16, 8))
     grid = (m // bm, n // bn, kdim // bk)
 
     scale_arr = jnp.reshape(jnp.asarray(scale, jnp.float32), (1,))
@@ -220,7 +220,7 @@ def tenant_delta_matmul_pallas(x: jax.Array, packed_stack: jax.Array,
     out_dtype = out_dtype or x.dtype
 
     bk = _pick_block(kdim, (1024, 512, 256, 128, 64, 32))
-    bn = _pick_block(n, (2048, 1024, 512, 256, 128))
+    bn = _pick_block(n, (2048, 1024, 512, 256, 128, 64, 32, 16, 8))
     nk = kdim // bk
     grid = (n // bn, nk, bsz)
 
@@ -290,7 +290,7 @@ def fused_tenant_matmul_pallas(x: jax.Array, w_base: jax.Array,
     out_dtype = out_dtype or x.dtype
 
     bk = _pick_block(kdim, (512, 256, 128, 64, 32))
-    bn = _pick_block(n, (512, 256, 128))
+    bn = _pick_block(n, (512, 256, 128, 64, 32, 16, 8))
     grid = (n // bn, kdim // bk, bsz)
     nk, nb = kdim // bk, bsz
 

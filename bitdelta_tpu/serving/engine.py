@@ -137,12 +137,14 @@ class Engine:
             return self._prefill_fns[bucket]
         cfg, dtype, max_seq = self.cfg, self.compute_dtype, self.max_seq
 
+        kernel = self.kernel
+
         def prefill_fn(params, deltas, tokens, length, tenant_id,
                        vocab_sizes):
             logits, rowcache = llama.forward(
                 cfg, params, tokens, lengths=length, deltas=deltas,
                 tenant_ids=tenant_id, compute_dtype=dtype,
-                return_cache=True, cache_max_seq=max_seq)
+                return_cache=True, cache_max_seq=max_seq, kernel=kernel)
             last = logits[0, length[0] - 1].astype(jnp.float32)
             vmask = jnp.arange(last.shape[-1]) < vocab_sizes[tenant_id[0]]
             last = jnp.where(vmask, last, NEG_INF)

@@ -116,6 +116,56 @@ def test_tenant_delta_vpu_kernel_bf16_inputs():
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2 * np.abs(want).max())
 
 
+def test_model_pallas_dispatch_interpret_mode():
+    # forward/decode with kernel="pallas" (forced-interpret on CPU) must
+    # match the XLA kernel path — covers both the prefill (MXU) and
+    # decode (VPU) dispatch branches in models/llama._proj.
+    from jax.experimental.pallas import tpu as pltpu
+    from bitdelta_tpu.models import config as cfgs, llama as jl
+    from bitdelta_tpu.core.delta import BinaryDelta
+
+    cfg = cfgs.tiny_test_config(hidden_size=64, intermediate_size=128,
+                                vocab_size=64, num_layers=2)
+    params = jl.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.default_rng(7)
+    t = 3
+    deltas = {}
+    shapes = {"q_proj": (64, cfg.q_dim), "k_proj": (64, cfg.kv_dim),
+              "v_proj": (64, cfg.kv_dim), "o_proj": (cfg.q_dim, 64),
+              "gate_proj": (64, 128), "up_proj": (64, 128),
+              "down_proj": (128, 64)}
+    for name, (k, n) in shapes.items():
+        signs = rng.integers(0, 2, (cfg.num_layers, t, k, n)).astype(bool)
+        deltas[name] = BinaryDelta(
+            packed=pack_signs(jnp.asarray(signs)),
+            scale=jnp.full((cfg.num_layers, t), 0.02, jnp.float32))
+
+    toks = jnp.asarray(rng.integers(0, 64, (1, 8), dtype=np.int64))
+    tid = jnp.asarray([1], jnp.int32)
+
+    ref_logits, ref_cache = jl.forward(
+        cfg, params, toks, deltas=deltas, tenant_ids=tid,
+        compute_dtype=jnp.float32, return_cache=True, cache_max_seq=16)
+    with pltpu.force_tpu_interpret_mode():
+        got_logits, got_cache = jl.forward(
+            cfg, params, toks, deltas=deltas, tenant_ids=tid,
+            compute_dtype=jnp.float32, return_cache=True, cache_max_seq=16,
+            kernel="pallas")
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=2e-3, atol=2e-3)
+
+    nxt = jnp.asarray([[5]], jnp.int32)
+    ref_step, _ = jl.decode_step(cfg, params, nxt, ref_cache, deltas=deltas,
+                                 tenant_ids=tid, compute_dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got_step, _ = jl.decode_step(cfg, params, nxt, got_cache,
+                                     deltas=deltas, tenant_ids=tid,
+                                     compute_dtype=jnp.float32,
+                                     kernel="pallas")
+    np.testing.assert_allclose(np.asarray(got_step), np.asarray(ref_step),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_pick_block_rejects_bad_dims():
     from bitdelta_tpu.ops.pallas_binary_gemm import _pick_block
     with pytest.raises(ValueError):

@@ -86,6 +86,27 @@ def test_frontend_page(served_app):
     assert "bitdelta-tpu" in html and "/generate" in html
 
 
+def test_concurrent_requests(served_app):
+    # Two clients streaming at once: the app serializes engine stepping;
+    # both must complete with well-formed streams.
+    import concurrent.futures
+
+    url, _ = served_app
+
+    def one(tenant):
+        with _post(url, {"prompt": "abc", "tenant": tenant,
+                         "max_new_tokens": 5}) as r:
+            return [json.loads(l) for l in r.read().splitlines()]
+
+    with concurrent.futures.ThreadPoolExecutor(2) as ex:
+        fa = ex.submit(one, "alpha")
+        fb = ex.submit(one, "beta")
+        la, lb = fa.result(timeout=600), fb.result(timeout=600)
+    assert la[-1]["done"] and lb[-1]["done"]
+    assert all(l["tenant"] == "alpha" for l in la)
+    assert all(l["tenant"] == "beta" for l in lb)
+
+
 def test_unknown_route(served_app):
     url, _ = served_app
     with pytest.raises(urllib.error.HTTPError) as e:
