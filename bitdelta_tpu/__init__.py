@@ -31,3 +31,27 @@ from .ops.binary_matmul import (  # noqa: F401
     binary_matmul,
     tenant_binary_matmul,
 )
+from .core.compress import (  # noqa: F401
+    CompressedModel,
+    compress_model,
+    fuse_compressed,
+    student_params,
+)
+from .core.artifact import load_delta, save_delta  # noqa: F401
+
+
+def __getattr__(name):
+    # Heavier subsystems load lazily so `import bitdelta_tpu` stays light.
+    if name == "Engine":
+        from .serving.engine import Engine
+        return Engine
+    if name == "stack_tenants":
+        from .serving.stacking import stack_tenants
+        return stack_tenants
+    if name == "distill_scales":
+        from .train.distill import distill_scales
+        return distill_scales
+    if name == "eval_ppl":
+        from .eval.ppl import eval_ppl
+        return eval_ppl
+    raise AttributeError(name)

@@ -219,7 +219,7 @@ def tenant_delta_matmul_pallas(x: jax.Array, packed_stack: jax.Array,
     assert k32 * 32 == kdim
     out_dtype = out_dtype or x.dtype
 
-    bk = _pick_block(kdim, (1024, 512, 256, 128, 64, 32))
+    bk = _pick_block(kdim, (2048, 1024, 512, 256, 128, 64, 32))
     bn = _pick_block(n, (2048, 1024, 512, 256, 128, 64, 32, 16, 8))
     nk = kdim // bk
     grid = (n // bn, nk, bsz)
