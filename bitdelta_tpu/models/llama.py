@@ -141,8 +141,19 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
                    preferred_element_type=jnp.float32)
     if delta is not None:
         if tenant_ids is None:
-            yd = binary_matmul(x, delta.packed, delta.scale,
-                               compute_dtype=compute_dtype)
+            if kernel == "pallas":
+                # Training/prefill shapes (M = B*S): MXU kernel with a
+                # custom VJP — gradients flow to x and scale without
+                # XLA's dense-mask materialization.
+                from ..ops.pallas_binary_gemm import binary_matmul_trainable
+
+                b, s, kdim = x.shape
+                yd = binary_matmul_trainable(
+                    x.reshape(b * s, kdim).astype(compute_dtype),
+                    delta.packed, delta.scale, False).reshape(b, s, -1)
+            else:
+                yd = binary_matmul(x, delta.packed, delta.scale,
+                                   compute_dtype=compute_dtype)
         else:
             yd = tenant_binary_matmul(x, delta.packed, delta.scale,
                                       tenant_ids, compute_dtype=compute_dtype)

@@ -326,3 +326,102 @@ def fused_tenant_matmul_pallas(x: jax.Array, w_base: jax.Array,
         interpret=interpret,
     )(jnp.asarray(tenant_ids, jnp.int32), x, w_base, packed_stack,
       jnp.asarray(scales, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Transposed kernel + trainable (custom-VJP) binary matmul
+# ---------------------------------------------------------------------------
+
+def _binary_matmul_t_kernel(g_ref, p_ref, scale_ref, o_ref, acc_ref):
+    n = pl.program_id(2)
+
+    @pl.when(n == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    signs = _unpack_pm1(p_ref[:], g_ref.dtype)        # (BK, BN)
+    # out[m, k] = sum_n g[m, n] * signs[k, n]  (contract both N axes)
+    acc_ref[:] += jax.lax.dot_general(
+        g_ref[:], signs, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(n == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def binary_matmul_t_pallas(g: jax.Array, packed: jax.Array, scale,
+                           *, interpret: bool = False, out_dtype=None):
+    """``scale * (g @ sign(packed).T)`` — g ``(M, N)``, packed
+    ``(K//32, N)``; returns ``(M, K)``. The backward operand of
+    :func:`binary_matmul_pallas` (cotangent w.r.t. activations)."""
+    m, n = g.shape
+    k32, np_ = packed.shape
+    assert np_ == n, (g.shape, packed.shape)
+    kdim = k32 * 32
+    out_dtype = out_dtype or g.dtype
+
+    bm = _pick_block(m, (256, 128, 64, 32, 16, 8, 4, 2, 1))
+    bk = _pick_block(kdim, (512, 256, 128, 64, 32))
+    bn = _pick_block(n, (512, 256, 128, 64, 32, 16, 8))
+    grid = (m // bm, kdim // bk, n // bn)
+
+    scale_arr = jnp.reshape(jnp.asarray(scale, jnp.float32), (1,))
+    return pl.pallas_call(
+        _binary_matmul_t_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 32, bn), lambda i, j, k: (j, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, kdim), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * kdim,
+            bytes_accessed=m * n * 2 + k32 * n * 4 + m * kdim * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(g, packed, scale_arr)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def binary_matmul_trainable(x, packed, scale, interpret=False):
+    """Differentiable ``scale * (x @ sign(packed))`` with Pallas fwd/bwd.
+
+    Gradients flow to ``x`` (through the transposed kernel) and to
+    ``scale`` (the only trainable leaf in scale distillation,
+    reference train.py:60-88); the packed bits are constants. Used by
+    the distillation student at training shapes (M = batch*seq), where
+    the MXU kernels amortize; the XLA lowering remains the
+    autodiff-by-construction fallback.
+    """
+    return binary_matmul_pallas(x, packed, scale, interpret=interpret)
+
+
+def _bmt_fwd(x, packed, scale, interpret):
+    y = binary_matmul_pallas(x, packed, scale, interpret=interpret)
+    return y, (x, packed, scale)
+
+
+def _bmt_bwd(interpret, res, g):
+    x, packed, scale = res
+    g32 = g.astype(jnp.float32)
+    # u = x @ sign  (recomputed — cheaper than saving an (M, N) residual
+    # per projection through the whole backward pass)
+    u = binary_matmul_pallas(x, packed, 1.0, interpret=interpret,
+                             out_dtype=jnp.float32)
+    d_scale = jnp.sum(g32 * u).astype(jnp.asarray(scale).dtype)
+    d_x = binary_matmul_t_pallas(g.astype(x.dtype), packed, scale,
+                                 interpret=interpret,
+                                 out_dtype=x.dtype)
+    return d_x, None, d_scale
+
+
+binary_matmul_trainable.defvjp(_bmt_fwd, _bmt_bwd)

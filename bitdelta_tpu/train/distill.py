@@ -40,6 +40,7 @@ class DistillConfig(NamedTuple):
     num_steps: int = 100              # reference utils.py:22 (200 for 7B)
     weight_decay: float = 0.01        # torch AdamW default used by train.py:60
     compute_dtype: str = "bfloat16"
+    kernel: str = "xla"               # "pallas": custom-VJP MXU delta kernels
 
 
 def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
@@ -55,7 +56,8 @@ def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
     def loss_fn(scales: Dict[str, jax.Array], batch: jax.Array) -> jax.Array:
         deltas = with_scales(compressed, scales).deltas
         student_logits = llama.forward(cfg, s_params, batch, deltas=deltas,
-                                       compute_dtype=compute_dtype)
+                                       compute_dtype=compute_dtype,
+                                       kernel=dcfg.kernel)
         teacher_logits = jax.lax.stop_gradient(
             llama.forward(cfg, finetuned_params, batch,
                           compute_dtype=compute_dtype))

@@ -166,6 +166,46 @@ def test_model_pallas_dispatch_interpret_mode():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_binary_matmul_t_matches_transpose():
+    from bitdelta_tpu.ops.pallas_binary_gemm import binary_matmul_t_pallas
+
+    rng = np.random.default_rng(8)
+    m, k, n = 8, 64, 128
+    g = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+    signs = rng.integers(0, 2, (k, n)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    got = np.asarray(binary_matmul_t_pallas(g, packed, 0.5, interpret=INTERP))
+    want = 0.5 * (np.asarray(g) @ np.where(signs, 1.0, -1.0).T)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_trainable_binary_matmul_gradients():
+    from bitdelta_tpu.ops.pallas_binary_gemm import binary_matmul_trainable
+
+    rng = np.random.default_rng(9)
+    m, k, n = 4, 64, 128
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    signs = rng.integers(0, 2, (k, n)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    tgt = jnp.asarray(rng.standard_normal((m, n)), jnp.float32)
+
+    def loss_pallas(x, scale):
+        y = binary_matmul_trainable(x, packed, scale, INTERP)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_ref(x, scale):
+        y = binary_matmul(x, packed, scale, compute_dtype=jnp.float32)
+        return jnp.mean((y - tgt) ** 2)
+
+    scale = jnp.float32(0.3)
+    (lp, (gx_p, gs_p)) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(x, scale)
+    (lr, (gx_r, gs_r)) = jax.value_and_grad(loss_ref, argnums=(0, 1))(x, scale)
+    np.testing.assert_allclose(float(lp), float(lr), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(gs_p), float(gs_r), rtol=1e-4)
+
+
 def test_pick_block_rejects_bad_dims():
     from bitdelta_tpu.ops.pallas_binary_gemm import _pick_block
     with pytest.raises(ValueError):
