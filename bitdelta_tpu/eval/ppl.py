@@ -83,7 +83,8 @@ def eval_ppl(cfg: ModelConfig, params, token_ids: np.ndarray, *,
     nwin = len(windows)
     pad = (-nwin) % batch_windows
     if pad:
-        windows = np.concatenate([windows, windows[:pad]], axis=0)
+        reps = np.tile(windows, (pad // nwin + 1, 1))[:pad]
+        windows = np.concatenate([windows, reps], axis=0)
     weights = np.concatenate([np.ones(nwin), np.zeros(pad)])
 
     fn = jax.jit(lambda w: _window_nll(cfg, params, deltas, w, stride,

@@ -171,8 +171,7 @@ def _fused_tenant_kernel(ids_ref, x_ref, w_ref, p_ref, scales_ref,
 # this kernel.
 
 def _tenant_delta_kernel(ids_ref, xq_ref, p_ref, scales_ref, xsum_ref,
-                         o_ref, acc_ref, *, nk: int, nb: int,
-                         inv_xscale: float):
+                         o_ref, acc_ref, *, nk: int, nb: int):
     ki, b = pl.program_id(1), pl.program_id(2)
 
     @pl.when((ki == 0) & (b == 0))
@@ -187,7 +186,7 @@ def _tenant_delta_kernel(ids_ref, xq_ref, p_ref, scales_ref, xsum_ref,
         isum += plane * xq[:, s][:, None]
     # y = alpha * (2*sum(x*bit) - sum(x)) : bit 1 -> +1, bit 0 -> -1.
     alpha = scales_ref[ids_ref[b]]
-    contrib = (2.0 * jnp.sum(isum, axis=0).astype(jnp.float32) * inv_xscale
+    contrib = (2.0 * jnp.sum(isum, axis=0).astype(jnp.float32)
                - xsum_ref[b, ki])
     rowmask = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0) == b
     acc_ref[:] += jnp.where(rowmask, alpha * contrib[None, :], 0.0)
@@ -234,8 +233,7 @@ def tenant_delta_matmul_pallas(x: jax.Array, packed_stack: jax.Array,
     xsum = (jnp.sum(xq_r.reshape(bsz, nk, bk // 32 * 32), axis=-1)
             .astype(jnp.float32))
 
-    kernel = functools.partial(_tenant_delta_kernel, nk=nk, nb=bsz,
-                               inv_xscale=1.0)
+    kernel = functools.partial(_tenant_delta_kernel, nk=nk, nb=bsz)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,

@@ -51,6 +51,14 @@ def stack_tenants(cfg: ModelConfig, base_params: Params,
     if not tenants:
         raise ValueError("need at least one tenant")
     t = len(tenants)
+    ref_shapes = {n: tenants[0].deltas[n].packed.shape for n in PROJ_NAMES}
+    for i, c in enumerate(tenants):
+        for n in PROJ_NAMES:
+            if c.deltas[n].packed.shape != ref_shapes[n]:
+                raise ValueError(
+                    f"tenant {i} has mismatched {n} shape "
+                    f"{c.deltas[n].packed.shape} != {ref_shapes[n]} — all "
+                    f"tenants must share the base architecture")
 
     deltas = {}
     for name in PROJ_NAMES:

@@ -64,6 +64,17 @@ def test_ppl_delta_path_matches_fused_path():
     np.testing.assert_allclose(p_delta, p_fused, rtol=1e-3)
 
 
+def test_ppl_batch_larger_than_window_count():
+    # batch_windows > number of windows: padding must tile correctly.
+    cfg, base, _ = _pair(7)
+    toks = np.random.default_rng(7).integers(0, cfg.vocab_size, 160)
+    p1 = eval_ppl(cfg, base, toks, context_size=64, window_size=32,
+                  compute_dtype=jnp.float32, batch_windows=1)
+    p8 = eval_ppl(cfg, base, toks, context_size=64, window_size=32,
+                  compute_dtype=jnp.float32, batch_windows=8)
+    np.testing.assert_allclose(p1, p8, rtol=1e-5)
+
+
 def test_ppl_window_batching_invariant():
     cfg, base, _ = _pair(2)
     toks = np.random.default_rng(2).integers(0, cfg.vocab_size, 2048)
