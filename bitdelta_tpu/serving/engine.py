@@ -46,6 +46,8 @@ class Request:
     tenant_id: int
     max_new_tokens: int = 128
     temperature: float = 0.0
+    top_k: int = 0          # 0 = disabled
+    top_p: float = 1.0      # 1.0 = disabled
     stop_token_ids: Sequence[int] = ()
     request_id: Optional[str] = None
 
@@ -89,6 +91,8 @@ class Engine:
                                       self.compute_dtype)
         self.tenant_ids = np.zeros((max_slots,), np.int32)
         self.temps = np.zeros((max_slots,), np.float32)
+        self.top_ks = np.zeros((max_slots,), np.int32)
+        self.top_ps = np.ones((max_slots,), np.float32)
         self._last_tokens = np.zeros((max_slots,), np.int32)
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
@@ -103,8 +107,10 @@ class Engine:
         cfg, dtype, kernel = self.cfg, self.compute_dtype, self.kernel
         max_seq = self.max_seq
 
+        from .sampling import sample_tokens
+
         def decode_fn(params, deltas, cache, tokens, tenant_ids, temps,
-                      active, vocab_sizes, rng):
+                      top_ks, top_ps, active, vocab_sizes, rng):
             old_len = cache.length
             logits, cache = llama.decode_step(
                 cfg, params, tokens, cache, deltas=deltas,
@@ -113,10 +119,7 @@ class Engine:
             vmask = (jnp.arange(logits.shape[-1])[None, :]
                      < vocab_sizes[tenant_ids][:, None])
             logits = jnp.where(vmask, logits, NEG_INF)
-            greedy = jnp.argmax(logits, axis=-1)
-            temps_safe = jnp.maximum(temps, 1e-4)[:, None]
-            sampled = jax.random.categorical(rng, logits / temps_safe, axis=-1)
-            nxt = jnp.where(temps > 0, sampled, greedy).astype(jnp.int32)
+            nxt = sample_tokens(rng, logits, temps, top_ks, top_ps)
             # Inactive slots don't advance (their cache row is parked).
             cache = cache._replace(
                 length=jnp.where(active, cache.length, old_len))
@@ -197,9 +200,14 @@ class Engine:
                                   jnp.int32(len(ids)), slot)
         # First generated token comes from the prefill logits.
         if req.temperature > 0:
+            from .sampling import sample_tokens
+
             self._rng, sub = jax.random.split(self._rng)
-            first = int(jax.random.categorical(
-                sub, last_logits / max(req.temperature, 1e-4)))
+            first = int(sample_tokens(
+                sub, last_logits[None].astype(jnp.float32),
+                jnp.asarray([req.temperature], jnp.float32),
+                jnp.asarray([req.top_k], jnp.int32),
+                jnp.asarray([req.top_p], jnp.float32))[0])
         else:
             first = int(jnp.argmax(last_logits))
         st = self.slots[slot]
@@ -210,6 +218,8 @@ class Engine:
         st.prompt_len = len(ids)
         self.tenant_ids[slot] = req.tenant_id
         self.temps[slot] = req.temperature
+        self.top_ks[slot] = req.top_k
+        self.top_ps[slot] = req.top_p
         self._last_tokens[slot] = first
 
     def _finish_checks(self, slot: int) -> Optional[str]:
@@ -252,6 +262,7 @@ class Engine:
             nxt, self.cache = self._decode(
                 self.stack.params, self.stack.deltas, self.cache, tokens,
                 jnp.asarray(self.tenant_ids), jnp.asarray(self.temps),
+                jnp.asarray(self.top_ks), jnp.asarray(self.top_ps),
                 jnp.asarray(active), self.stack.vocab_sizes, sub)
             nxt = np.asarray(nxt)
             for i in np.nonzero(active)[0]:

@@ -122,6 +122,8 @@ class ServingApp:
         parity."""
         max_new = int(body.get("max_new_tokens", 128))
         temp = float(body.get("temperature", 0.0))
+        top_k = int(body.get("top_k", 0))
+        top_p = float(body.get("top_p", 1.0))
         if body.get("tenant") is not None:
             tenant_ids = [self.resolve_tenant(body["tenant"])]
         else:
@@ -133,6 +135,7 @@ class ServingApp:
             reqs.append(Request(
                 prompt_ids=self._prompt_ids(tn, body), tenant_id=tid,
                 max_new_tokens=max_new, temperature=temp,
+                top_k=top_k, top_p=top_p,
                 stop_token_ids=tn.stop_token_ids,
                 request_id=f"t{tid}"))
             metas.append(tn)
