@@ -210,15 +210,24 @@ def _embed_lookup(params: Params, tokens: jax.Array,
 
 def _lm_head_logits(params: Params, x: jax.Array,
                     tenant_ids: Optional[jax.Array],
-                    compute_dtype) -> jax.Array:
+                    compute_dtype, kernel: str = "xla") -> jax.Array:
     lm_head = params.get("lm_head")
     if lm_head is None:  # tied embeddings
         e = params["embed"]
         lm_head = jnp.swapaxes(e, -1, -2)
     if lm_head.ndim == 3 and tenant_ids is not None:
-        # Per-tenant head: gather rows' heads and contract. Reading each
-        # distinct tenant's (D, V) head is the inherent cost of
-        # uncompressed per-tenant heads.
+        # Per-tenant head. Reading each distinct tenant's (D, V) head is
+        # the inherent cost of uncompressed per-tenant heads.
+        if kernel == "pallas" and x.shape[1] == 1:
+            # Decode: scalar-prefetch-routed kernel streams each row's
+            # head directly — the XLA gather would materialize an
+            # (B, D, V) copy in HBM first (~3x the traffic).
+            from ..ops.pallas_binary_gemm import tenant_dense_matmul_pallas
+
+            y = tenant_dense_matmul_pallas(
+                x[:, 0].astype(compute_dtype), lm_head, tenant_ids,
+                out_dtype=jnp.float32)
+            return y[:, None, :]
         return jnp.einsum(
             "bsd,bdv->bsv", x.astype(compute_dtype),
             lm_head[tenant_ids].astype(compute_dtype),
@@ -404,7 +413,8 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
     x, (ks, vs) = jax.lax.scan(body, x, layer_xs)
 
     x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
-    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype)
+    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype,
+                              kernel=kernel)
     return logits, KVCache(k=ks, v=vs, length=new_length)
 
 

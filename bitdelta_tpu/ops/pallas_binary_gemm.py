@@ -423,3 +423,81 @@ def _bmt_bwd(interpret, res, g):
 
 
 binary_matmul_trainable.defvjp(_bmt_fwd, _bmt_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Tenant-routed dense matmul (per-tenant lm_head / embeddings)
+# ---------------------------------------------------------------------------
+
+def _tenant_dense_kernel(ids_ref, x_ref, w_ref, o_ref, acc_ref, *,
+                         nk: int, nb: int):
+    ki, b = pl.program_id(1), pl.program_id(2)
+
+    @pl.when((ki == 0) & (b == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Row b's weight block was selected by the scalar-prefetched tenant
+    # id in the BlockSpec index_map — the gather never materializes in
+    # HBM. M=1, so contract on the VPU (multiply + sublane-reduce); the
+    # MXU would be weight-load bound here (BENCHNOTES.md).
+    w = w_ref[0].astype(jnp.float32)                    # (BK, BN)
+    xcol = x_ref[0, 0, :].astype(jnp.float32)[:, None]  # (BK, 1)
+    contrib = jnp.sum(w * xcol, axis=0)                 # (BN,)
+    rowmask = jax.lax.broadcasted_iota(jnp.int32, acc_ref.shape, 0) == b
+    acc_ref[:] += jnp.where(rowmask, contrib[None, :], 0.0)
+
+    @pl.when((ki == nk - 1) & (b == nb - 1))
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def tenant_dense_matmul_pallas(x: jax.Array, w_stack: jax.Array,
+                               tenant_ids: jax.Array, *,
+                               interpret: bool = False, out_dtype=None):
+    """``Y[b] = X[b] @ W[ids[b]]`` — per-tenant dense weights at decode
+    shapes (the uncompressed lm_head / tied-embedding projection,
+    reference DataParallelModule demo_backend.py:62-79).
+
+    x: ``(B, K)``; w_stack: ``(T, K, N)``; tenant_ids: ``(B,)``.
+    """
+    bsz, kdim = x.shape
+    t, kw, n = w_stack.shape
+    assert kw == kdim
+    out_dtype = out_dtype or x.dtype
+
+    bk = _pick_block(kdim, (1024, 512, 256, 128, 64, 32, 16, 8))
+    bn = _pick_block(n, (2048, 1024, 512, 256, 128, 64, 32, 16, 8))
+    nk = kdim // bk
+    grid = (n // bn, nk, bsz)
+
+    kernel = functools.partial(_tenant_dense_kernel, nk=nk, nb=bsz)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            # x fed as (B, 1, K): Mosaic requires the last two block dims
+            # to divide (8, 128) or equal the array dims — (1, bk) vs
+            # array (1, K) satisfies that; a 2-D (1, bk) block would not.
+            pl.BlockSpec((1, 1, bk), lambda ni, ki, bi, ids: (bi, 0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, bn),
+                         lambda ni, ki, bi, ids: (ids[bi], ki, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bsz, bn), lambda ni, ki, bi, ids: (0, ni),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bsz, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n * kdim,
+            bytes_accessed=bsz * kdim * n * 2 + bsz * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(tenant_ids, jnp.int32), x[:, None, :], w_stack)

@@ -166,6 +166,19 @@ def test_model_pallas_dispatch_interpret_mode():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_tenant_dense_matmul_matches_gather():
+    from bitdelta_tpu.ops.pallas_binary_gemm import tenant_dense_matmul_pallas
+
+    rng = np.random.default_rng(12)
+    bsz, t, k, n = 5, 3, 64, 128
+    x = jnp.asarray(rng.standard_normal((bsz, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((t, k, n)) * 0.1, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, t, (bsz,)), jnp.int32)
+    got = np.asarray(tenant_dense_matmul_pallas(x, w, ids, interpret=INTERP))
+    want = np.einsum("bk,bkn->bn", np.asarray(x), np.asarray(w)[np.asarray(ids)])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_binary_matmul_t_matches_transpose():
     from bitdelta_tpu.ops.pallas_binary_gemm import binary_matmul_t_pallas
 
