@@ -53,6 +53,9 @@ def add_mesh_args(p: argparse.ArgumentParser):
     p.add_argument("--mesh", type=str, default=None,
                    help="'dp,tp' mesh shape (default: 1 x all devices)")
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--kernel", type=str, default="auto",
+                   choices=("auto", "pallas", "xla"),
+                   help="delta matmul lowering (auto: pallas on TPU)")
 
 
 def parse_mesh(spec):

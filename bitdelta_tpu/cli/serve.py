@@ -45,8 +45,7 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_slots", type=int, default=8)
     p.add_argument("--max_seq", type=int, default=1024)
-    p.add_argument("--kernel", type=str, default="auto",
-                   choices=("auto", "pallas", "xla"))
+    # --kernel comes from add_mesh_args
     p.add_argument("--smoke_test", action="store_true",
                    help="generate a few tokens from every tenant and exit")
     args = p.parse_args(argv)

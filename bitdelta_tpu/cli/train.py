@@ -78,8 +78,12 @@ def main(argv=None):
         subset=args.subset, split=args.split, text_file=args.text_file,
         vocab_size=cfg.vocab_size)
 
+    import jax as _jax
+    kernel = args.kernel
+    if kernel == "auto":
+        kernel = "pallas" if _jax.default_backend() == "tpu" else "xla"
     dcfg = DistillConfig(lr=args.lr, num_steps=args.num_steps,
-                         compute_dtype=args.dtype)
+                         compute_dtype=args.dtype, kernel=kernel)
     comp, losses = distill_scales(cfg, base, fine, comp, batches, dcfg,
                                   mesh=mesh, progress=True)
     print(f"distill loss {losses[0]:.6f} -> {losses[-1]:.6f}")
