@@ -198,6 +198,23 @@ def make_http_server(app: ServingApp, host: str = "0.0.0.0",
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
+            elif self.path == "/stats":
+                from .stacking import stack_nbytes
+
+                eng = app.engine
+                payload = json.dumps({
+                    "slots_total": eng.max_slots,
+                    "slots_free": len(eng.free_slots()),
+                    "max_seq": eng.max_seq,
+                    "kernel": eng.kernel,
+                    "tenants": app.model_names(),
+                    "memory_bytes": stack_nbytes(eng.stack),
+                }).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
             else:
                 self.send_error(404)
 

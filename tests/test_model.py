@@ -151,6 +151,27 @@ def test_decode_with_unequal_lengths():
                                    np.asarray(s1)[0, 0], rtol=1e-4, atol=1e-4)
 
 
+def test_sliding_window_decode_matches_full_forward():
+    # Mistral-style local attention must hold during cached decode too:
+    # decode positions beyond the window must ignore old cache slots.
+    cfg = cfgs.tiny_test_config(sliding_window=6)
+    params = jl.init_params(cfg, jax.random.PRNGKey(9))
+    toks = jnp.asarray(np.random.default_rng(9).integers(
+        0, cfg.vocab_size, (1, 14), dtype=np.int64))
+
+    full = np.asarray(jl.forward(cfg, params, toks,
+                                 compute_dtype=jnp.float32))
+    _, cache = jl.forward(cfg, params, toks[:, :4],
+                          compute_dtype=jnp.float32, return_cache=True,
+                          cache_max_seq=20)
+    for t in range(4, 14):
+        step, cache = jl.decode_step(cfg, params, toks[:, t:t + 1], cache,
+                                     compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(step)[0, 0], full[0, t],
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"position {t}")
+
+
 def test_forward_with_deltas_matches_dense_fused():
     # forward(deltas=...) == forward on dense-fused params (the
     # eval-vs-serving consistency the reference never verified).

@@ -79,6 +79,15 @@ def test_generate_bad_requests(served_app):
     assert e.value.code == 400
 
 
+def test_stats_endpoint(served_app):
+    url, app = served_app
+    with urllib.request.urlopen(url + "/stats", timeout=60) as r:
+        data = json.loads(r.read())
+    assert data["slots_total"] == 4
+    assert data["tenants"] == ["alpha", "beta"]
+    assert data["memory_bytes"]["base_bytes"] > 0
+
+
 def test_frontend_page(served_app):
     url, _ = served_app
     with urllib.request.urlopen(url + "/", timeout=60) as r:
