@@ -1,0 +1,76 @@
+"""Mixtral MoE decoder: HF parity + fine-tune delta compression."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bitdelta_tpu.models import mixtral as mx
+
+
+@pytest.fixture(scope="module")
+def hf_mixtral():
+    import torch
+    from transformers import MixtralConfig as HFConfig, MixtralForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = HFConfig(vocab_size=96, hidden_size=64, intermediate_size=96,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, num_local_experts=4,
+                      num_experts_per_tok=2, max_position_embeddings=64,
+                      rms_norm_eps=1e-6, tie_word_embeddings=False,
+                      attn_implementation="eager")
+    model = MixtralForCausalLM(hf_cfg).eval().float()
+    return hf_cfg, model
+
+
+def test_mixtral_logits_match_transformers(hf_mixtral):
+    import torch
+
+    hf_cfg, model = hf_mixtral
+    cfg = mx.MixtralConfig.from_hf_config(hf_cfg)
+    assert cfg.num_experts == 4 and cfg.experts_per_token == 2
+    params = mx.params_from_torch_mixtral(cfg, model, jnp.float32)
+    tokens = np.random.default_rng(0).integers(0, 96, (2, 12), dtype=np.int64)
+    with torch.no_grad():
+        ref = model(torch.tensor(tokens)).logits.numpy()
+    ours = np.asarray(mx.forward(cfg, params, jnp.asarray(tokens),
+                                 compute_dtype=jnp.float32))
+    np.testing.assert_allclose(ours, ref, rtol=3e-4, atol=3e-4)
+
+
+def test_mixtral_finetune_delta_compression(hf_mixtral):
+    hf_cfg, model = hf_mixtral
+    cfg = mx.MixtralConfig.from_hf_config(hf_cfg)
+    base = mx.params_from_torch_mixtral(cfg, model, jnp.float32)
+    fine = dict(base)
+    fine["layers"] = dict(base["layers"])
+    key = jax.random.PRNGKey(5)
+    for name in mx.ATTN_PROJS + mx.EXPERT_MATS + ("router",):
+        key, sub = jax.random.split(key)
+        fine["layers"][name] = base["layers"][name] + (
+            0.02 * jax.random.normal(sub, base["layers"][name].shape))
+
+    comp = mx.compress_mixtral(base, fine)
+    # Expert deltas keep the expert axis.
+    assert comp.deltas["w1"].packed.shape == (
+        cfg.num_layers, cfg.num_experts, cfg.hidden_size // 32,
+        cfg.intermediate_size)
+    assert comp.deltas["w1"].scale.shape == (cfg.num_layers, cfg.num_experts)
+
+    toks = jnp.asarray(np.random.default_rng(1).integers(
+        0, 96, (1, 8), dtype=np.int64))
+    sp = mx.mixtral_student_params(base, comp)
+    y_fine = mx.forward(cfg, fine, toks, compute_dtype=jnp.float32)
+    y_base = mx.forward(cfg, base, toks, compute_dtype=jnp.float32)
+    y_comp = mx.forward(cfg, sp, toks, deltas=comp.deltas,
+                        compute_dtype=jnp.float32)
+    err_comp = float(jnp.mean(jnp.abs(y_comp - y_fine)))
+    err_base = float(jnp.mean(jnp.abs(y_base - y_fine)))
+    assert err_comp < err_base
+
+    # Compression accounting: packed expert deltas ~32x smaller than
+    # dense fp32 experts.
+    dense = sum(base["layers"][w].size * 4 for w in mx.EXPERT_MATS)
+    packed = sum(comp.deltas[w].packed.size * 4 for w in mx.EXPERT_MATS)
+    assert dense / packed > 30
