@@ -120,6 +120,13 @@ def main():
     jax.block_until_ready(serve_params)
 
     kernel = "pallas" if backend == "tpu" else "xla"
+    if kernel == "pallas":
+        # Serving delta layout: pair-packed (2 output columns per word),
+        # 1.46x the one-column VPU kernel (BENCHNOTES.md).
+        from bitdelta_tpu.core.delta import pair_delta
+
+        deltas = {k: (pair_delta(d) if d.packed.shape[-1] % 256 == 0 else d)
+                  for k, d in deltas.items()}
     tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
 
     def chained(step_fn, batch):

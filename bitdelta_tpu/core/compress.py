@@ -27,31 +27,53 @@ class CompressedModel(NamedTuple):
     """A fine-tune expressed against a base model.
 
     deltas: proj name -> BinaryDelta with leaves ``(L, K//32, N)`` packed
-      and ``(L,)`` scales.
+      and ``(L,)`` scales. With ``compress_embeddings=True`` the dict
+      additionally holds ``"embed"`` (packed along the hidden axis,
+      ``(D//32, V)``) and, for untied models, ``"lm_head"``
+      (``(D//32, V)``) — 1-bit compression of the token embeddings and
+      output head, the reference's stated future work
+      (docs/index.html:352-354). Their scales distill like proj scales.
     extras: uncompressed fine-tuned tensors overriding the base params:
-      ``embed``, ``final_norm``, per-layer ``attn_norm``/``mlp_norm``,
-      and ``lm_head`` when present.
+      ``final_norm``, per-layer ``attn_norm``/``mlp_norm``, and — unless
+      embedding compression is on — ``embed`` / ``lm_head``.
     """
 
     deltas: Dict[str, BinaryDelta]
     extras: Dict[str, Any]
 
 
-def compress_model(base_params: Params,
-                   finetuned_params: Params) -> CompressedModel:
+def compress_model(base_params: Params, finetuned_params: Params, *,
+                   compress_embeddings: bool = False) -> CompressedModel:
     deltas = {
         name: quantize_delta(base_params["layers"][name],
                              finetuned_params["layers"][name])
         for name in PROJ_NAMES
     }
     extras: Dict[str, Any] = {
-        "embed": finetuned_params["embed"],
         "final_norm": finetuned_params["final_norm"],
         "attn_norm": finetuned_params["layers"]["attn_norm"],
         "mlp_norm": finetuned_params["layers"]["mlp_norm"],
     }
-    if "lm_head" in finetuned_params:
-        extras["lm_head"] = finetuned_params["lm_head"]
+    if compress_embeddings:
+        if finetuned_params["embed"].shape != base_params["embed"].shape:
+            raise ValueError(
+                "compress_embeddings requires the fine-tune to share the "
+                f"base vocab/hidden: {finetuned_params['embed'].shape} != "
+                f"{base_params['embed'].shape}")
+        if ("lm_head" in finetuned_params) != ("lm_head" in base_params):
+            raise ValueError("base and fine-tune disagree on tied lm_head")
+        # Packed along D (the matmul/unpack axis for both uses): the
+        # embed delta is quantized transposed, (V, D) -> (D, V).
+        deltas["embed"] = quantize_delta(
+            jnp.swapaxes(base_params["embed"], -1, -2),
+            jnp.swapaxes(finetuned_params["embed"], -1, -2))
+        if "lm_head" in finetuned_params:
+            deltas["lm_head"] = quantize_delta(base_params["lm_head"],
+                                               finetuned_params["lm_head"])
+    else:
+        extras["embed"] = finetuned_params["embed"]
+        if "lm_head" in finetuned_params:
+            extras["lm_head"] = finetuned_params["lm_head"]
     return CompressedModel(deltas=deltas, extras=extras)
 
 
@@ -62,14 +84,17 @@ def student_params(base_params: Params, compressed: CompressedModel) -> Params:
     params = dict(base_params)
     params["layers"] = dict(base_params["layers"])
     ex = compressed.extras
-    params["embed"] = ex["embed"]
     params["final_norm"] = ex["final_norm"]
     params["layers"]["attn_norm"] = ex["attn_norm"]
     params["layers"]["mlp_norm"] = ex["mlp_norm"]
-    if "lm_head" in ex:
-        params["lm_head"] = ex["lm_head"]
-    elif "lm_head" in params:
-        del params["lm_head"]
+    if "embed" in ex:
+        params["embed"] = ex["embed"]
+        if "lm_head" in ex:
+            params["lm_head"] = ex["lm_head"]
+        elif "lm_head" in params:
+            del params["lm_head"]
+    # else: embedding compression — base embed/lm_head stay; the deltas
+    # dict's "embed"/"lm_head" entries ride on top in the forward.
     return params
 
 
@@ -81,7 +106,16 @@ def fuse_compressed(base_params: Params, compressed: CompressedModel) -> Params:
     params = student_params(base_params, compressed)
     params["layers"] = dict(params["layers"])
     for name, delta in compressed.deltas.items():
-        params["layers"][name] = apply_delta(base_params["layers"][name], delta)
+        if name == "embed":
+            # Stored packed along D, i.e. against embed.T: fuse transposed.
+            fused_t = apply_delta(
+                jnp.swapaxes(base_params["embed"], -1, -2), delta)
+            params["embed"] = jnp.swapaxes(fused_t, -1, -2)
+        elif name == "lm_head":
+            params["lm_head"] = apply_delta(base_params["lm_head"], delta)
+        else:
+            params["layers"][name] = apply_delta(
+                base_params["layers"][name], delta)
     return params
 
 

@@ -48,6 +48,36 @@ class BinaryDelta(NamedTuple):
         return self.packed.shape[-1]
 
 
+class PairedBinaryDelta(NamedTuple):
+    """Serving-layout variant of :class:`BinaryDelta` for the pair-packed
+    VPU decode kernel (ops/pallas_binary_gemm.py, BENCHNOTES.md: 1.43x
+    over the one-column formulation).
+
+    packed_pairs: int32 ``(*, K//16, N//2)`` — two output columns per
+      word (16 sign bits each half; ops/packing.py::repack_pairs).
+    colsum: fp32 ``(*, N)`` — ``2*popcount - K`` per column, the static
+      part of the kernel's affine dequantization correction.
+    scale: fp32 ``(*,)`` per-matrix scale (same as BinaryDelta.scale).
+    """
+
+    packed_pairs: jax.Array
+    colsum: jax.Array
+    scale: jax.Array
+
+
+def pair_delta(delta: BinaryDelta) -> PairedBinaryDelta:
+    """Convert a canonical delta (any leading stack dims) to the pair
+    layout. One-time word-level shuffle at serving setup; the canonical
+    artifact format stays (K//32, N)."""
+    from ..ops.packing import column_popcount, repack_pairs
+
+    k = delta.packed.shape[-2] * 32
+    colsum = (2.0 * column_popcount(delta.packed) - k).astype(jnp.float32)
+    return PairedBinaryDelta(packed_pairs=repack_pairs(delta.packed),
+                             colsum=colsum,
+                             scale=jnp.asarray(delta.scale, jnp.float32))
+
+
 def quantize_delta(base: jax.Array, finetune: jax.Array) -> BinaryDelta:
     """Quantize ``finetune - base`` to 1 bit + fp32 scale.
 

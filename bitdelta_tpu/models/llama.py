@@ -12,8 +12,11 @@ JAX-native counterpart of the reference's ``BinaryDiff`` module swap
 (diff.py:41-64) and ``DiffCompressModule`` (demo/demo_backend.py:82-98).
 
 Compressed projections: {q,k,v,o,gate,up,down}_proj — matching the
-reference's selection (diff.py:60-64). Embeddings, lm_head and norms are
-never compressed.
+reference's selection (diff.py:60-64). Norms are never compressed.
+Beyond the reference (its stated future work, docs/index.html:352-354),
+the deltas dict may also carry ``"embed"`` / ``"lm_head"`` 1-bit deltas
+(packed along the hidden axis) applied outside the layer scan — see
+``_embed_lookup`` / ``_lm_head_logits``.
 
 Weight layout: every matrix is ``(K_in, N_out)`` (``y = x @ W``).
 """
@@ -26,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import ModelConfig
-from ..core.delta import BinaryDelta
+from ..core.delta import BinaryDelta, PairedBinaryDelta
 from ..ops.binary_matmul import binary_matmul, tenant_binary_matmul
 
 PROJ_NAMES = ("q_proj", "k_proj", "v_proj", "o_proj",
@@ -107,7 +110,30 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
     kernel="pallas" routes tenant-routed decode-shaped calls through the
     fused Pallas kernel (ops/pallas_binary_gemm.py); anything else — or
     shapes the kernel doesn't cover — takes the XLA lowering.
+
+    ``delta`` may be a ``PairedBinaryDelta`` (serving layout): decode
+    goes through the pair-packed VPU kernel (1.46x the one-column
+    kernel, BENCHNOTES.md); other shapes un-pair the words on the fly
+    (a cheap word shuffle) and use the canonical paths.
     """
+    if isinstance(delta, PairedBinaryDelta):
+        if (kernel == "pallas" and tenant_ids is not None
+                and x.shape[-2] == 1):
+            from ..ops.pallas_binary_gemm import tenant_delta_matmul_pair_pallas
+
+            y = jnp.matmul(x[:, 0].astype(compute_dtype),
+                           w.astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
+            yd = tenant_delta_matmul_pair_pallas(
+                x[:, 0].astype(compute_dtype), delta.packed_pairs,
+                delta.colsum, delta.scale, tenant_ids,
+                out_dtype=jnp.float32)
+            return (y + yd).astype(compute_dtype)[:, None, :]
+        from ..ops.packing import unpair_packed
+
+        delta = BinaryDelta(packed=unpair_packed(delta.packed_pairs),
+                            scale=delta.scale)
+
     if (kernel == "pallas" and delta is not None and tenant_ids is not None
             and x.shape[-2] == 1):
         # Decode hot path: XLA base matmul (HBM-roofline at small M) +
@@ -197,24 +223,100 @@ def _attention(cfg: ModelConfig, q, k, v, q_positions, kv_valid):
     return out.reshape(b, sq, h * hd).astype(q.dtype)
 
 
+def _split_deltas(deltas: Optional[Deltas]):
+    """Separate layer-stacked proj deltas (scanned) from the embedding /
+    lm_head deltas (applied outside the scan)."""
+    if deltas is None:
+        return None, None, None
+    layer = {k: v for k, v in deltas.items() if k in PROJ_NAMES}
+    return (layer or None), deltas.get("embed"), deltas.get("lm_head")
+
+
 def _embed_lookup(params: Params, tokens: jax.Array,
-                  tenant_ids: Optional[jax.Array]) -> jax.Array:
+                  tenant_ids: Optional[jax.Array],
+                  embed_delta=None) -> jax.Array:
     """Token embedding; ``embed`` may be tenant-stacked ``(T, V, D)``
     (each fine-tune keeps its own embeddings — the reference's
-    DataParallelModule case, demo/demo_backend.py:62-79)."""
+    DataParallelModule case, demo/demo_backend.py:62-79), or shared
+    ``(V, D)`` with a 1-bit per-tenant delta (``embed_delta``; packed
+    along D, so a token's sign row is one packed-word column)."""
     e = params["embed"]
     if e.ndim == 3 and tenant_ids is not None:
-        return e[tenant_ids[:, None], tokens]
-    return e[tokens]
+        base = e[tenant_ids[:, None], tokens]
+    else:
+        base = e[tokens]
+    if embed_delta is None:
+        return base
+    packed, scale = embed_delta.packed, embed_delta.scale
+    if packed.ndim == 3 and tenant_ids is not None:
+        # (T, D//32, V): rows (b, s) read tenant b's column tokens[b, s].
+        words = packed[tenant_ids[:, None], :, tokens]      # (B, S, D//32)
+        alpha = scale[tenant_ids][:, None, None]
+    else:
+        words = jnp.moveaxis(jnp.take(packed, tokens, axis=-1), -3, -1)
+        alpha = scale
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    bits = (words[..., None] >> shifts) & 1                 # (B, S, D//32, 32)
+    pm1 = (2 * bits - 1).reshape(*tokens.shape, -1).astype(jnp.float32)
+    return (base.astype(jnp.float32) + alpha * pm1).astype(base.dtype)
+
+
+def _head_delta_logits(x: jax.Array, head_delta,
+                       tenant_ids: Optional[jax.Array],
+                       compute_dtype, kernel: str) -> jax.Array:
+    """1-bit delta contribution to the logits: ``alpha * (x @ sign)``
+    with the head delta packed ``(D//32, V)`` (per tenant when stacked).
+    Same dispatch policy as projection deltas in :func:`_proj`."""
+    if isinstance(head_delta, PairedBinaryDelta):
+        stacked = head_delta.packed_pairs.ndim == 3
+        if (kernel == "pallas" and stacked and tenant_ids is not None
+                and x.shape[1] == 1):
+            from ..ops.pallas_binary_gemm import tenant_delta_matmul_pair_pallas
+
+            yd = tenant_delta_matmul_pair_pallas(
+                x[:, 0].astype(compute_dtype), head_delta.packed_pairs,
+                head_delta.colsum, head_delta.scale, tenant_ids,
+                out_dtype=jnp.float32)
+            return yd[:, None, :]
+        from ..ops.packing import unpair_packed
+
+        head_delta = BinaryDelta(packed=unpair_packed(head_delta.packed_pairs),
+                                 scale=head_delta.scale)
+    stacked = head_delta.packed.ndim == 3
+    if stacked and tenant_ids is not None:
+        if kernel == "pallas" and x.shape[1] == 1:
+            from ..ops.pallas_binary_gemm import tenant_delta_matmul_pallas
+
+            yd = tenant_delta_matmul_pallas(
+                x[:, 0].astype(compute_dtype), head_delta.packed,
+                head_delta.scale, tenant_ids, out_dtype=jnp.float32)
+            return yd[:, None, :]
+        return tenant_binary_matmul(x, head_delta.packed, head_delta.scale,
+                                    tenant_ids,
+                                    compute_dtype=compute_dtype
+                                    ).astype(jnp.float32)
+    return binary_matmul(x, head_delta.packed, head_delta.scale,
+                         compute_dtype=compute_dtype).astype(jnp.float32)
 
 
 def _lm_head_logits(params: Params, x: jax.Array,
                     tenant_ids: Optional[jax.Array],
-                    compute_dtype, kernel: str = "xla") -> jax.Array:
+                    compute_dtype, kernel: str = "xla",
+                    head_delta=None, embed_delta=None) -> jax.Array:
     lm_head = params.get("lm_head")
     if lm_head is None:  # tied embeddings
         e = params["embed"]
         lm_head = jnp.swapaxes(e, -1, -2)
+        if head_delta is None:
+            # Tied + compressed embeddings: the embed delta (packed along
+            # D against embed.T) IS the head delta.
+            head_delta = embed_delta
+    if head_delta is not None:
+        base = jnp.matmul(x.astype(compute_dtype),
+                          lm_head.astype(compute_dtype),
+                          preferred_element_type=jnp.float32)
+        return base + _head_delta_logits(x, head_delta, tenant_ids,
+                                         compute_dtype, kernel)
     if lm_head.ndim == 3 and tenant_ids is not None:
         # Per-tenant head. Reading each distinct tenant's (D, V) head is
         # the inherent cost of uncompressed per-tenant heads.
@@ -320,7 +422,9 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
     if lengths is None:
         lengths = jnp.full((b,), s, jnp.int32)
 
-    x = _embed_lookup(params, tokens, tenant_ids).astype(compute_dtype)
+    deltas, embed_delta, head_delta = _split_deltas(deltas)
+    x = _embed_lookup(params, tokens, tenant_ids,
+                      embed_delta).astype(compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
@@ -366,7 +470,9 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
         x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)
 
     x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
-    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype)
+    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype,
+                             kernel=kernel, head_delta=head_delta,
+                             embed_delta=embed_delta)
 
     if not return_cache:
         return logits
@@ -392,7 +498,9 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
     kv_valid = slot < new_length[:, None]
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
-    x = _embed_lookup(params, tokens, tenant_ids).astype(compute_dtype)
+    deltas, embed_delta, head_delta = _split_deltas(deltas)
+    x = _embed_lookup(params, tokens, tenant_ids,
+                      embed_delta).astype(compute_dtype)
 
     layer_xs = (params["layers"], cache.k, cache.v)
     if deltas is not None:
@@ -414,7 +522,8 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
 
     x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
     logits = _lm_head_logits(params, x, tenant_ids, compute_dtype,
-                              kernel=kernel)
+                             kernel=kernel, head_delta=head_delta,
+                             embed_delta=embed_delta)
     return logits, KVCache(k=ks, v=vs, length=new_length)
 
 

@@ -74,6 +74,60 @@ def unpack_to_pm1(packed: jax.Array, dtype=jnp.bfloat16,
     return jnp.where(bits, jnp.asarray(1, dtype), jnp.asarray(-1, dtype))
 
 
+PAIR_BLOCK = 256  # output columns per pair block (= 2 x 128 VPU lanes)
+
+
+def repack_pairs(packed: jax.Array) -> jax.Array:
+    """Repack canonical ``(*, K//32, N)`` words into the pair layout
+    ``(*, K//16, N//2)`` consumed by the pair-packed VPU decode kernel
+    (ops/pallas_binary_gemm.py::tenant_delta_matmul_pair_pallas).
+
+    Pair word ``[k16, ni*128 + r]`` holds, LSB-first, the 16 sign bits of
+    K rows ``[16*k16, 16*k16 + 16)`` for output column ``ni*256 + r`` in
+    its low half and for column ``ni*256 + 128 + r`` in its high half —
+    so one shift+and+multiply accumulates two output columns at once
+    (measured 1.43x over the 32-bit one-column formulation; see
+    BENCHNOTES.md). Word-level shuffle only: never unpacks to (K, N).
+    """
+    *lead, k32, n = packed.shape
+    if n % PAIR_BLOCK != 0:
+        raise ValueError(f"N={n} must be divisible by {PAIR_BLOCK}")
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    # (*, K//32, N) -> 16-bit halves interleaved along K: (*, K//16, N)
+    h = jnp.stack([u & jnp.uint32(0xFFFF), u >> jnp.uint32(16)], axis=-2)
+    h = h.reshape(*lead, 2 * k32, n)
+    hl = h.reshape(*lead, 2 * k32, n // PAIR_BLOCK, 2, PAIR_BLOCK // 2)
+    pair = hl[..., 0, :] | (hl[..., 1, :] << jnp.uint32(16))
+    pair = pair.reshape(*lead, 2 * k32, n // 2)
+    return jax.lax.bitcast_convert_type(pair, PACK_DTYPE)
+
+
+def unpair_packed(pair: jax.Array) -> jax.Array:
+    """Inverse of :func:`repack_pairs`: ``(*, K//16, N//2)`` ->
+    ``(*, K//32, N)``. Word-level shuffle; used by non-decode paths
+    (prefill, XLA fallback) so serving can hold only the pair layout."""
+    *lead, k16, n2 = pair.shape
+    n = n2 * 2
+    u = jax.lax.bitcast_convert_type(pair, jnp.uint32)
+    hl = jnp.stack([u & jnp.uint32(0xFFFF), u >> jnp.uint32(16)], axis=-2)
+    # (*, K//16, 2, N//2) -> halves back into column blocks of 256
+    hl = hl.reshape(*lead, k16, 2, n // PAIR_BLOCK, PAIR_BLOCK // 2)
+    h = hl.transpose(*range(len(lead)), -4, -2, -3, -1).reshape(
+        *lead, k16, n)
+    # de-interleave the K halves: rows (2a, 2a+1) -> word a
+    h = h.reshape(*lead, k16 // 2, 2, n)
+    words = h[..., 0, :] | (h[..., 1, :] << jnp.uint32(16))
+    return jax.lax.bitcast_convert_type(words, PACK_DTYPE)
+
+
+def column_popcount(packed: jax.Array) -> jax.Array:
+    """Per-output-column count of set sign bits: ``(*, K//32, N)`` ->
+    ``(*, N)`` int32 (static per mask; used by the pair kernel's affine
+    dequantization correction)."""
+    u = jax.lax.bitcast_convert_type(packed, jnp.uint32)
+    return jnp.sum(jax.lax.population_count(u), axis=-2).astype(jnp.int32)
+
+
 def pack_signs_np(signs, n_bits: int = N_BITS):
     """NumPy variant of :func:`pack_signs` for host-side artifact IO.
 

@@ -266,6 +266,159 @@ def tenant_delta_matmul_pallas(x: jax.Array, packed_stack: jax.Array,
     return (y * xscale).astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Pair-packed decode kernel (VPU, 2 output columns per word)
+# ---------------------------------------------------------------------------
+#
+# Halves the bit-plane work of _tenant_delta_kernel: each int32 word
+# holds 16 sign bits for TWO output columns (ops/packing.py::repack_pairs
+# layout), so one shift+and+multiply+add accumulates two unpacked
+# elements. Cross-half carries cannot occur because activations are
+# quantized to a non-negative 12-bit grid and each half accumulates only
+# its word's 16 planes (max 16 * 4095 < 2^16); 32-bit wraparound is
+# modular and the halves are recovered exactly by mask/logical-shift.
+#
+# Affine dequantization: with xq = (x - xmin)/s in [0, 4095],
+#   sum_k sign_k * x_k = s*(2*S - sum(xq)) + xmin*(2*popcount - K)
+# where S = sum_k bit_k * xq_k is what the kernel accumulates and
+# popcount is static per mask column (precomputed at repack time).
+# Measured 1.43x over the one-column i32 formulation (BENCHNOTES.md).
+
+PAIR_Q_LEVELS = 4095   # 12-bit grid: 16 * 4095 = 65520 < 2^16 (no carry)
+PAIR_BN = 256          # output columns per grid step = 2 x 128 lanes
+
+
+def _tenant_delta_pair_kernel(ids_ref, xq_ref, p_ref, a1_ref, a2_ref,
+                              sxq_ref, c2_ref, olo_ref, ohi_ref,
+                              alo_ref, ahi_ref, *, nk: int, nb: int):
+    ki, b = pl.program_id(1), pl.program_id(2)
+
+    @pl.when((ki == 0) & (b == 0))
+    def _():
+        alo_ref[:] = jnp.zeros_like(alo_ref)
+        ahi_ref[:] = jnp.zeros_like(ahi_ref)
+
+    p = p_ref[0]                      # (Wp, 128) int32 pair words
+    xq = xq_ref[0]                    # (Wp, 16) int32 in [0, 4095]
+    inner = jnp.zeros(p.shape, jnp.int32)
+    for s in range(16):
+        pairbits = (p >> s) & 0x00010001
+        inner += pairbits * xq[:, s][:, None]
+    # Recover the two 16-bit half-sums (exact: each half accumulates at
+    # most 16 * 2047 < 2^16; int32 wraparound is modular).
+    lo = inner & 0xFFFF
+    hi = jax.lax.shift_right_logical(inner, 16)
+    s_lo = jnp.sum(lo, axis=0, keepdims=True).astype(jnp.float32)  # (1,128)
+    s_hi = jnp.sum(hi, axis=0, keepdims=True).astype(jnp.float32)
+
+    a1 = a1_ref[b]
+    rowmask = jax.lax.broadcasted_iota(jnp.int32, alo_ref.shape, 0) == b
+    alo_ref[:] += jnp.where(rowmask, (2.0 * a1) * s_lo, 0.0)
+    ahi_ref[:] += jnp.where(rowmask, (2.0 * a1) * s_hi, 0.0)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        c2 = c2_ref[0]                                   # (2, 128)
+        off = a1 * sxq_ref[b]
+        alo_ref[:] += jnp.where(rowmask, a2_ref[b] * c2[0:1] - off, 0.0)
+        ahi_ref[:] += jnp.where(rowmask, a2_ref[b] * c2[1:2] - off, 0.0)
+
+    @pl.when((ki == nk - 1) & (b == nb - 1))
+    def _():
+        olo_ref[:] = alo_ref[:].astype(olo_ref.dtype)
+        ohi_ref[:] = ahi_ref[:].astype(ohi_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def tenant_delta_matmul_pair_pallas(x: jax.Array, packed_pairs: jax.Array,
+                                    colsum: jax.Array, scales: jax.Array,
+                                    tenant_ids: jax.Array, *,
+                                    interpret: bool = False, out_dtype=None):
+    """``Y[b] = scales[ids[b]] * (X[b] @ sign(P[ids[b]]))`` — decode shape,
+    pair-packed layout (see :func:`...packing.repack_pairs`).
+
+    Args: x ``(B, K)``; packed_pairs ``(T, K//16, N//2)``; colsum
+    ``(T, N)`` fp32 = 2*popcount - K; scales ``(T,)``; tenant_ids
+    ``(B,)``. Returns ``(B, N)``.
+    """
+    bsz, kdim = x.shape
+    t, k16, nhalf = packed_pairs.shape
+    n = nhalf * 2
+    assert k16 * 16 == kdim, (x.shape, packed_pairs.shape)
+    assert colsum.shape == (t, n), (colsum.shape, (t, n))
+    out_dtype = out_dtype or x.dtype
+
+    bk = _pick_block(kdim, (4096, 2048, 1024, 512, 256, 128, 64, 32))
+    nk = kdim // bk
+    # Lanes per grid step: a block may span many 128-lane pair groups —
+    # the pair layout is group-major so wide blocks stay contiguous.
+    bnh = _pick_block(nhalf, (1024, 512, 256, 128))
+    grid = (nhalf // bnh, nk, bsz)
+
+    xf = x.astype(jnp.float32)
+    xmin = jnp.min(xf, axis=1)
+    xmax = jnp.max(xf, axis=1)
+    step = jnp.maximum((xmax - xmin) / PAIR_Q_LEVELS, 1e-30)
+    xq = jnp.round((xf - xmin[:, None]) / step[:, None]).astype(jnp.int32)
+    sxq = jnp.sum(xq, axis=1).astype(jnp.float32)
+    alpha = jnp.asarray(scales, jnp.float32)[tenant_ids]
+    a1 = alpha * step
+    a2 = alpha * xmin
+    xq_r = xq.reshape(bsz, k16, 16)
+
+    # colsum in pair order: c2p[t, h, ni*128 + r] = colsum[t, ni*256 +
+    # 128*h + r] — each kernel block reads its (2, 128) lo/hi slice.
+    nblk = n // PAIR_BN
+    c2p = (colsum.reshape(t, nblk, 2, PAIR_BN // 2)
+           .transpose(0, 2, 1, 3).reshape(t, 2, nhalf))
+
+    kernel = functools.partial(_tenant_delta_pair_kernel, nk=nk, nb=bsz)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bk // 16, 16),
+                         lambda ni, ki, bi, ids: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk // 16, bnh),
+                         lambda ni, ki, bi, ids: (ids[bi], ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, bnh),
+                         lambda ni, ki, bi, ids: (ids[bi], 0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bsz, bnh), lambda ni, ki, bi, ids: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, bnh), lambda ni, ki, bi, ids: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((bsz, bnh), jnp.float32),
+                        pltpu.VMEM((bsz, bnh), jnp.float32)],
+    )
+    y_lo, y_hi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bsz, nhalf), jnp.float32),
+                   jax.ShapeDtypeStruct((bsz, nhalf), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n * kdim,
+            bytes_accessed=bsz * k16 * nhalf * 4 + bsz * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(tenant_ids, jnp.int32), xq_r, packed_pairs,
+      a1, a2, sxq, c2p)
+    # Reassemble natural column order: block ni's lo half then hi half.
+    y = jnp.stack([y_lo.reshape(bsz, nblk, PAIR_BN // 2),
+                   y_hi.reshape(bsz, nblk, PAIR_BN // 2)],
+                  axis=2).reshape(bsz, n)
+    return y.astype(out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
 def fused_tenant_matmul_pallas(x: jax.Array, w_base: jax.Array,
                                packed_stack: jax.Array, scales: jax.Array,

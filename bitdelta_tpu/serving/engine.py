@@ -84,6 +84,12 @@ class Engine:
         if kernel == "auto":
             kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.kernel = kernel
+        if kernel == "pallas":
+            # Decode hot path: pair-packed delta layout (same bytes as
+            # canonical; prefill un-pairs on the fly).
+            from .stacking import to_pair_layout
+
+            self.stack = stack = to_pair_layout(stack)
         self.compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
 
         self.slots = [SlotState() for _ in range(max_slots)]

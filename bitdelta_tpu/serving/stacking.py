@@ -51,9 +51,15 @@ def stack_tenants(cfg: ModelConfig, base_params: Params,
     if not tenants:
         raise ValueError("need at least one tenant")
     t = len(tenants)
-    ref_shapes = {n: tenants[0].deltas[n].packed.shape for n in PROJ_NAMES}
+    delta_keys = sorted(tenants[0].deltas.keys())
+    ref_shapes = {n: tenants[0].deltas[n].packed.shape for n in delta_keys}
     for i, c in enumerate(tenants):
-        for n in PROJ_NAMES:
+        if sorted(c.deltas.keys()) != delta_keys:
+            raise ValueError(
+                f"tenant {i} delta keys {sorted(c.deltas.keys())} != "
+                f"{delta_keys} — all tenants must be compressed the same "
+                f"way (incl. compress_embeddings)")
+        for n in delta_keys:
             if c.deltas[n].packed.shape != ref_shapes[n]:
                 raise ValueError(
                     f"tenant {i} has mismatched {n} shape "
@@ -61,20 +67,28 @@ def stack_tenants(cfg: ModelConfig, base_params: Params,
                     f"tenants must share the base architecture")
 
     deltas = {}
-    for name in PROJ_NAMES:
-        packed = jnp.stack([c.deltas[name].packed for c in tenants], axis=1)
+    for name in delta_keys:
+        # Proj deltas are layer-stacked (L, ...): tenant axis goes second
+        # -> (L, T, K//32, N). Embed/lm_head deltas have no layer axis ->
+        # (T, D//32, V).
+        axis = 1 if name in PROJ_NAMES else 0
+        packed = jnp.stack([c.deltas[name].packed for c in tenants],
+                           axis=axis)
         scale = jnp.stack(
             [jnp.asarray(c.deltas[name].scale, jnp.float32) for c in tenants],
-            axis=1)
+            axis=axis)
         deltas[name] = BinaryDelta(packed=packed, scale=scale)
 
-    vocab_sizes = np.asarray([c.extras["embed"].shape[0] for c in tenants],
-                             np.int32)
+    compressed_embeds = "embed" in deltas
+    if compressed_embeds:
+        # Same-vocab requirement is enforced at compress time.
+        vocab_sizes = np.full((t,), base_params["embed"].shape[0], np.int32)
+    else:
+        vocab_sizes = np.asarray([c.extras["embed"].shape[0]
+                                  for c in tenants], np.int32)
     vmax = int(vocab_sizes.max())
 
     params: Params = {
-        "embed": jnp.stack(
-            [_pad_vocab(c.extras["embed"], vmax, 0) for c in tenants]),
         "final_norm": jnp.stack([c.extras["final_norm"] for c in tenants]),
         "layers": {
             "attn_norm": jnp.stack([c.extras["attn_norm"] for c in tenants],
@@ -86,15 +100,52 @@ def stack_tenants(cfg: ModelConfig, base_params: Params,
     for name in PROJ_NAMES:
         params["layers"][name] = base_params["layers"][name]
 
-    if all("lm_head" in c.extras for c in tenants):
-        params["lm_head"] = jnp.stack(
-            [_pad_vocab(c.extras["lm_head"], vmax, 1) for c in tenants])
-    elif any("lm_head" in c.extras for c in tenants):
-        raise ValueError("mixing tied and untied lm_head tenants")
+    if compressed_embeds:
+        # Shared base embed/lm_head + per-tenant 1-bit deltas: the big
+        # per-tenant dense tensors disappear (~2x tenant density for
+        # 7B-class models).
+        params["embed"] = base_params["embed"]
+        if "lm_head" in deltas:
+            params["lm_head"] = base_params["lm_head"]
+    else:
+        params["embed"] = jnp.stack(
+            [_pad_vocab(c.extras["embed"], vmax, 0) for c in tenants])
+        if all("lm_head" in c.extras for c in tenants):
+            params["lm_head"] = jnp.stack(
+                [_pad_vocab(c.extras["lm_head"], vmax, 1) for c in tenants])
+        elif any("lm_head" in c.extras for c in tenants):
+            raise ValueError("mixing tied and untied lm_head tenants")
 
     return TenantStack(params=params, deltas=deltas,
                        vocab_sizes=jnp.asarray(vocab_sizes),
                        num_tenants=t)
+
+
+def to_pair_layout(stack: TenantStack) -> TenantStack:
+    """Convert delta stacks to the pair-packed serving layout consumed by
+    the pair VPU decode kernel (ops/pallas_binary_gemm.py; 1.46x the
+    one-column kernel on v5e/v6e). Projections whose N isn't a multiple
+    of 256 stay canonical (the model dispatch handles a mixed dict).
+    Same memory as canonical — serving holds only one layout."""
+    from ..core.delta import pair_delta
+    from ..ops.packing import PAIR_BLOCK
+
+    deltas = {}
+    for name, d in stack.deltas.items():
+        # "embed" is consumed by gather (one packed column per token),
+        # not by the matmul kernels — it stays canonical.
+        if name != "embed" and d.packed.shape[-1] % PAIR_BLOCK == 0:
+            deltas[name] = pair_delta(d)
+        else:
+            deltas[name] = d
+    return stack._replace(deltas=deltas)
+
+
+def _delta_nbytes(d) -> int:
+    if hasattr(d, "packed_pairs"):
+        return (d.packed_pairs.size * 4 + d.colsum.size * 4
+                + d.scale.size * 4)
+    return d.packed.size * 4 + d.scale.size * 4
 
 
 def stack_nbytes(stack: TenantStack) -> Dict[str, float]:
@@ -103,15 +154,19 @@ def stack_nbytes(stack: TenantStack) -> Dict[str, float]:
     base = sum(stack.params["layers"][n].size
                * stack.params["layers"][n].dtype.itemsize
                for n in PROJ_NAMES)
-    packed = sum(d.packed.size * 4 + d.scale.size * 4
-                 for d in stack.deltas.values())
-    extras = (stack.params["embed"].size * stack.params["embed"].dtype.itemsize
-              + stack.params["final_norm"].size * stack.params["final_norm"].dtype.itemsize
+    packed = sum(_delta_nbytes(d) for d in stack.deltas.values())
+    extras = (stack.params["final_norm"].size * stack.params["final_norm"].dtype.itemsize
               + stack.params["layers"]["attn_norm"].size * stack.params["layers"]["attn_norm"].dtype.itemsize
               + stack.params["layers"]["mlp_norm"].size * stack.params["layers"]["mlp_norm"].dtype.itemsize)
-    if "lm_head" in stack.params:
-        extras += (stack.params["lm_head"].size
-                   * stack.params["lm_head"].dtype.itemsize)
+    for name in ("embed", "lm_head"):
+        w = stack.params.get(name)
+        if w is None:
+            continue
+        nbytes = w.size * w.dtype.itemsize
+        if w.ndim == 3:      # per-tenant stacked (uncompressed extras)
+            extras += nbytes
+        else:                # shared base (compressed embeddings mode)
+            base += nbytes
     return {"base_bytes": float(base), "deltas_bytes": float(packed),
             "tenant_extras_bytes": float(extras),
             "per_tenant_bytes": float((packed + extras) / stack.num_tenants)}

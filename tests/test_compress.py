@@ -92,3 +92,92 @@ def test_compression_stats_shape_realistic():
     stats = delta_compression_stats(base, comp)
     assert stats["dense_bytes"] / stats["packed_bytes"] > 14
     assert stats["ratio"] > 2  # tiny config has a huge embed share
+
+
+def _pair_with_heads(seed=5, dtype=jnp.float32):
+    cfg, base, fine = _pair(seed, dtype)
+    key = jax.random.PRNGKey(seed + 500)
+    k1, k2 = jax.random.split(key)
+    fine["lm_head"] = base["lm_head"] + (
+        0.01 * jax.random.normal(k1, base["lm_head"].shape)).astype(dtype)
+    fine["final_norm"] = base["final_norm"] + (
+        0.01 * jax.random.normal(k2, base["final_norm"].shape)).astype(dtype)
+    return cfg, base, fine
+
+
+def test_compress_embeddings_mode():
+    cfg, base, fine = _pair_with_heads()
+    comp = compress_model(base, fine, compress_embeddings=True)
+    assert "embed" in comp.deltas and "lm_head" in comp.deltas
+    assert "embed" not in comp.extras and "lm_head" not in comp.extras
+    # embed delta packed along D: (D//32, V)
+    assert comp.deltas["embed"].packed.shape == (
+        cfg.hidden_size // 32, cfg.vocab_size)
+    # Student keeps BASE embeddings; the delta rides in the forward.
+    sp = student_params(base, comp)
+    np.testing.assert_array_equal(np.asarray(sp["embed"]),
+                                  np.asarray(base["embed"]))
+
+    toks = jnp.asarray(np.random.default_rng(5).integers(
+        0, cfg.vocab_size, (2, 10), dtype=np.int64))
+    y_fine = jl.forward(cfg, fine, toks, compute_dtype=jnp.float32)
+    y_base = jl.forward(cfg, base, toks, compute_dtype=jnp.float32)
+    y_comp = jl.forward(cfg, sp, toks, deltas=comp.deltas,
+                        compute_dtype=jnp.float32)
+    err_comp = float(jnp.mean(jnp.abs(y_comp - y_fine)))
+    err_base = float(jnp.mean(jnp.abs(y_base - y_fine)))
+    assert err_comp < err_base
+
+
+def test_compress_embeddings_fused_equals_delta_forward():
+    cfg, base, fine = _pair_with_heads(6)
+    comp = compress_model(base, fine, compress_embeddings=True)
+    toks = jnp.asarray(np.random.default_rng(6).integers(
+        0, cfg.vocab_size, (1, 8), dtype=np.int64))
+    y_delta = jl.forward(cfg, student_params(base, comp), toks,
+                         deltas=comp.deltas, compute_dtype=jnp.float32)
+    y_fused = jl.forward(cfg, fuse_compressed(base, comp), toks,
+                         compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_delta), np.asarray(y_fused),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_compress_embeddings_tied_model():
+    cfg, base, fine = _pair(7)
+    cfg = cfgs.tiny_test_config(tie_word_embeddings=True)
+    base.pop("lm_head", None)
+    fine.pop("lm_head", None)
+    comp = compress_model(base, fine, compress_embeddings=True)
+    assert "embed" in comp.deltas and "lm_head" not in comp.deltas
+    toks = jnp.asarray(np.random.default_rng(7).integers(
+        0, cfg.vocab_size, (1, 6), dtype=np.int64))
+    y_delta = jl.forward(cfg, student_params(base, comp), toks,
+                         deltas=comp.deltas, compute_dtype=jnp.float32)
+    y_fused = jl.forward(cfg, fuse_compressed(base, comp), toks,
+                         compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_delta), np.asarray(y_fused),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_compress_embeddings_vocab_mismatch_raises():
+    import pytest
+
+    cfg, base, fine = _pair(8)
+    fine = dict(fine)
+    fine["embed"] = jnp.zeros((cfg.vocab_size + 32, cfg.hidden_size))
+    with pytest.raises(ValueError):
+        compress_model(base, fine, compress_embeddings=True)
+
+
+def test_artifact_roundtrip_with_embed_deltas(tmp_path):
+    cfg, base, fine = _pair_with_heads(9)
+    comp = compress_model(base, fine, compress_embeddings=True)
+    path = os.path.join(tmp_path, "delta.safetensors")
+    save_delta(path, comp, cfg)
+    loaded, cfg2 = load_delta(path)
+    assert sorted(loaded.deltas.keys()) == sorted(comp.deltas.keys())
+    for k in comp.deltas:
+        np.testing.assert_array_equal(np.asarray(loaded.deltas[k].packed),
+                                      np.asarray(comp.deltas[k].packed))
+        np.testing.assert_allclose(np.asarray(loaded.deltas[k].scale),
+                                   np.asarray(comp.deltas[k].scale))

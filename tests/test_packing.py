@@ -75,3 +75,49 @@ def test_pack_under_jit():
     signs = jnp.asarray(np.random.default_rng(3).integers(0, 2, (64, 32), dtype=np.int64).astype(bool))
     packed = jax.jit(pack_signs)(signs)
     np.testing.assert_array_equal(np.asarray(unpack_signs(packed)), np.asarray(signs))
+
+
+def test_repack_pairs_layout():
+    # Pair word [k16, ni*128 + r] holds K rows [16*k16, 16*k16+16) of
+    # column ni*256 + r (low half) and ni*256 + 128 + r (high half).
+    import numpy as np
+    from bitdelta_tpu.ops.packing import pack_signs, repack_pairs
+
+    rng = np.random.default_rng(31)
+    k, n = 96, 512
+    signs = rng.integers(0, 2, (k, n)).astype(bool)
+    pair = np.asarray(repack_pairs(pack_signs(jnp.asarray(signs)))).view(np.uint32)
+    assert pair.shape == (k // 16, n // 2)
+    for k16, j in [(0, 0), (1, 127), (2, 128), (5, 200), (3, 255)]:
+        ni, r = divmod(j, 128)
+        word = int(pair[k16, j])
+        for s in range(16):
+            assert ((word >> s) & 1) == int(signs[16 * k16 + s, ni * 256 + r])
+            assert ((word >> (16 + s)) & 1) == int(
+                signs[16 * k16 + s, ni * 256 + 128 + r])
+
+
+def test_repack_pairs_leading_dims_and_popcount():
+    import numpy as np
+    from bitdelta_tpu.ops.packing import (column_popcount, pack_signs,
+                                          repack_pairs)
+
+    rng = np.random.default_rng(32)
+    signs = rng.integers(0, 2, (2, 3, 64, 256)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    pair = repack_pairs(packed)
+    assert pair.shape == (2, 3, 4, 128)
+    cnt = np.asarray(column_popcount(packed))
+    np.testing.assert_array_equal(cnt, signs.sum(axis=-2))
+
+
+def test_unpair_roundtrip():
+    import numpy as np
+    from bitdelta_tpu.ops.packing import pack_signs, repack_pairs, unpair_packed
+
+    rng = np.random.default_rng(33)
+    for shape in [(64, 256), (3, 96, 512), (2, 2, 32, 256)]:
+        signs = rng.integers(0, 2, shape).astype(bool)
+        packed = pack_signs(jnp.asarray(signs))
+        back = unpair_packed(repack_pairs(packed))
+        np.testing.assert_array_equal(np.asarray(back), np.asarray(packed))

@@ -166,6 +166,109 @@ def test_model_pallas_dispatch_interpret_mode():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("bsz,t,k,n", [(4, 3, 64, 256), (6, 6, 1024, 512),
+                                       (3, 2, 128, 256)])
+def test_tenant_delta_pair_kernel_matches_xla(bsz, t, k, n):
+    from bitdelta_tpu.core.delta import BinaryDelta, pair_delta
+    from bitdelta_tpu.ops.pallas_binary_gemm import (
+        tenant_delta_matmul_pair_pallas)
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((bsz, k)), jnp.float32)
+    signs = rng.integers(0, 2, (t, k, n)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    scales = jnp.asarray(rng.uniform(0.1, 2.0, (t,)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, t, (bsz,)), jnp.int32)
+    pd = pair_delta(BinaryDelta(packed=packed, scale=scales))
+    got = np.asarray(tenant_delta_matmul_pair_pallas(
+        x, pd.packed_pairs, pd.colsum, scales, ids, interpret=INTERP))
+    want = np.asarray(tenant_binary_matmul(x[:, None, :], packed, scales, ids,
+                                           compute_dtype=jnp.float32))[:, 0]
+    # x is quantized to a 12-bit affine grid inside the kernel.
+    np.testing.assert_allclose(got, want, rtol=3e-3,
+                               atol=3e-3 * np.abs(want).max())
+
+
+def test_tenant_delta_pair_kernel_exact_on_grid():
+    # When x already sits exactly on the kernel's 12-bit affine grid the
+    # pair formulation is exact (integer accumulation + affine identity):
+    # validates the popcount correction and the no-carry packing claim.
+    from bitdelta_tpu.core.delta import BinaryDelta, pair_delta
+    from bitdelta_tpu.ops.pallas_binary_gemm import (
+        PAIR_Q_LEVELS, tenant_delta_matmul_pair_pallas)
+
+    rng = np.random.default_rng(22)
+    bsz, t, k, n = 4, 2, 256, 256
+    xq = rng.integers(0, PAIR_Q_LEVELS + 1, (bsz, k)).astype(np.float64)
+    xq[:, 0], xq[:, 1] = 0, PAIR_Q_LEVELS      # pin the min/max per row
+    step, xmin = 0.003, -1.7
+    x = jnp.asarray(xq * step + xmin, jnp.float32)
+    signs = rng.integers(0, 2, (t, k, n)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    scales = jnp.asarray([0.7, 1.3], jnp.float32)
+    ids = jnp.asarray([0, 1, 1, 0], jnp.int32)
+    pd = pair_delta(BinaryDelta(packed=packed, scale=scales))
+    got = np.asarray(tenant_delta_matmul_pair_pallas(
+        x, pd.packed_pairs, pd.colsum, scales, ids, interpret=INTERP))
+    pm1 = np.where(signs, 1.0, -1.0)
+    want = np.stack([float(scales[i]) * (np.asarray(x, np.float64)[b]
+                                         @ pm1[int(i)])
+                     for b, i in enumerate(np.asarray(ids))])
+    np.testing.assert_allclose(got, want, rtol=1e-5,
+                               atol=1e-5 * np.abs(want).max())
+
+
+def test_model_pallas_dispatch_paired_deltas():
+    # Same dispatch test with the serving pair layout: decode goes via
+    # the pair VPU kernel; prefill un-pairs on the fly.
+    from jax.experimental.pallas import tpu as pltpu
+    from bitdelta_tpu.models import config as cfgs, llama as jl
+    from bitdelta_tpu.core.delta import BinaryDelta, pair_delta
+
+    cfg = cfgs.tiny_test_config(hidden_size=256, intermediate_size=512,
+                                vocab_size=64, num_layers=2)
+    params = jl.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    rng = np.random.default_rng(23)
+    t = 2
+    deltas, paired = {}, {}
+    shapes = {"q_proj": (256, cfg.q_dim), "k_proj": (256, cfg.kv_dim),
+              "v_proj": (256, cfg.kv_dim), "o_proj": (cfg.q_dim, 256),
+              "gate_proj": (256, 512), "up_proj": (256, 512),
+              "down_proj": (512, 256)}
+    for name, (k, n) in shapes.items():
+        signs = rng.integers(0, 2, (cfg.num_layers, t, k, n)).astype(bool)
+        d = BinaryDelta(packed=pack_signs(jnp.asarray(signs)),
+                        scale=jnp.full((cfg.num_layers, t), 0.02,
+                                       jnp.float32))
+        deltas[name] = d
+        paired[name] = pair_delta(d) if n % 256 == 0 else d
+
+    toks = jnp.asarray(rng.integers(0, 64, (2, 8), dtype=np.int64))
+    tid = jnp.asarray([1, 0], jnp.int32)
+
+    ref_logits, cache = jl.forward(
+        cfg, params, toks, deltas=deltas, tenant_ids=tid,
+        compute_dtype=jnp.float32, return_cache=True, cache_max_seq=16)
+    with pltpu.force_tpu_interpret_mode():
+        got_logits, _ = jl.forward(
+            cfg, params, toks, deltas=paired, tenant_ids=tid,
+            compute_dtype=jnp.float32, return_cache=True, cache_max_seq=16,
+            kernel="pallas")
+    np.testing.assert_allclose(np.asarray(got_logits), np.asarray(ref_logits),
+                               rtol=2e-3, atol=2e-3)
+
+    nxt = jnp.asarray([[5], [7]], jnp.int32)
+    ref_step, _ = jl.decode_step(cfg, params, nxt, cache, deltas=deltas,
+                                 tenant_ids=tid, compute_dtype=jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got_step, _ = jl.decode_step(cfg, params, nxt, cache,
+                                     deltas=paired, tenant_ids=tid,
+                                     compute_dtype=jnp.float32,
+                                     kernel="pallas")
+    np.testing.assert_allclose(np.asarray(got_step), np.asarray(ref_step),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_tenant_dense_matmul_matches_gather():
     from bitdelta_tpu.ops.pallas_binary_gemm import tenant_dense_matmul_pallas
 
