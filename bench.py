@@ -106,11 +106,30 @@ def main():
             packed=words,
             scale=jnp.full((cfg.num_layers, TENANTS), 0.01, jnp.float32))
 
+    compress_heads = os.environ.get("BENCH_COMPRESS_EMBEDS", "1") == "1"
     serve_params = dict(params)
     serve_params["layers"] = dict(params["layers"])
-    serve_params["embed"] = jnp.tile(params["embed"][None], (TENANTS, 1, 1))
-    serve_params["lm_head"] = jnp.tile(params["lm_head"][None],
-                                       (TENANTS, 1, 1))
+    if compress_heads:
+        # compress_embeddings serving mode: shared base embed/lm_head +
+        # per-tenant 1-bit deltas (packed along D). ~2x tenant density
+        # and no per-tenant dense head streaming at decode.
+        deltas["embed"] = BinaryDelta(
+            packed=jax.random.randint(
+                jax.random.PRNGKey(200),
+                (TENANTS, cfg.hidden_size // 32, cfg.vocab_size),
+                -2**31, 2**31 - 1, jnp.int32),
+            scale=jnp.full((TENANTS,), 0.01, jnp.float32))
+        deltas["lm_head"] = BinaryDelta(
+            packed=jax.random.randint(
+                jax.random.PRNGKey(201),
+                (TENANTS, cfg.hidden_size // 32, cfg.vocab_size),
+                -2**31, 2**31 - 1, jnp.int32),
+            scale=jnp.full((TENANTS,), 0.01, jnp.float32))
+    else:
+        serve_params["embed"] = jnp.tile(params["embed"][None],
+                                         (TENANTS, 1, 1))
+        serve_params["lm_head"] = jnp.tile(params["lm_head"][None],
+                                           (TENANTS, 1, 1))
     serve_params["final_norm"] = jnp.tile(params["final_norm"][None],
                                           (TENANTS, 1))
     serve_params["layers"]["attn_norm"] = jnp.tile(
@@ -125,7 +144,10 @@ def main():
         # 1.46x the one-column VPU kernel (BENCHNOTES.md).
         from bitdelta_tpu.core.delta import pair_delta
 
-        deltas = {k: (pair_delta(d) if d.packed.shape[-1] % 256 == 0 else d)
+        # "embed" stays canonical — it is consumed by gather, not matmul.
+        deltas = {k: (pair_delta(d)
+                      if k != "embed" and d.packed.shape[-1] % 256 == 0
+                      else d)
                   for k, d in deltas.items()}
     tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
 

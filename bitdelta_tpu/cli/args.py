@@ -31,6 +31,10 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--max_length", type=int, default=128)
     p.add_argument("--save_dir", type=str, required=True)
     p.add_argument("--save_full_model", action="store_true")
+    p.add_argument("--compress_embeddings", action="store_true",
+                   help="also 1-bit-compress embeddings and lm_head "
+                        "against the base (requires matching vocab; "
+                        "beyond-reference — its stated future work)")
     p.add_argument("--debug", action="store_true")
 
 

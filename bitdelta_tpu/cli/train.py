@@ -62,12 +62,15 @@ def main(argv=None):
             f.write(f"corr,stddev\n{stats['corr']},{stats['stddev']}\n")
 
     print("compressing diff...", flush=True)
-    comp = compress_model(base, fine)
+    comp = compress_model(base, fine,
+                          compress_embeddings=args.compress_embeddings)
     if mesh is not None:
         from ..parallel import sharding as psh
         comp = comp._replace(
             deltas=psh.shard_deltas(cfg, comp.deltas, mesh),
-            extras=psh.shard_tree(comp.extras, psh.extras_specs(fcfg), mesh))
+            extras=psh.shard_tree(
+                comp.extras,
+                psh.extras_specs(fcfg, keys=comp.extras.keys()), mesh))
     save_delta(os.path.join(args.save_dir, "diff_untrained.safetensors"),
                comp, fcfg)
 

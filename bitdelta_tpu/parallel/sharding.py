@@ -54,11 +54,16 @@ def param_specs(cfg: ModelConfig) -> Dict[str, Any]:
     return specs
 
 
-def delta_specs(cfg: ModelConfig, tenant_stacked: bool = False) -> Dict[str, Any]:
+def delta_specs(cfg: ModelConfig, tenant_stacked: bool = False,
+                keys=None) -> Dict[str, Any]:
     """Specs for a deltas pytree {proj: BinaryDelta}.
 
     Single-tenant leaves: packed ``(L, K//32, N)``, scale ``(L,)``.
     Tenant-stacked (serving): packed ``(L, T, K//32, N)``, scale ``(L, T)``.
+    With ``keys`` given, returns specs exactly for those names — this is
+    how the "embed"/"lm_head" delta entries (compress_embeddings mode;
+    packed ``(D//32, V)``, no layer axis, vocab sharded like the dense
+    extras) are included without changing the default structure.
     """
     from ..core.delta import BinaryDelta
 
@@ -70,10 +75,19 @@ def delta_specs(cfg: ModelConfig, tenant_stacked: bool = False) -> Dict[str, Any
     for name in ROW_PARALLEL:
         out[name] = BinaryDelta(packed=P(*lead, MODEL_AXIS, None),
                                 scale=P(*lead))
+    elead = (None,) if tenant_stacked else ()
+    for name in ("embed", "lm_head"):
+        out[name] = BinaryDelta(packed=P(*elead, None, MODEL_AXIS),
+                                scale=P(*elead))
+    if keys is None:
+        out = {k: v for k, v in out.items()
+               if k not in ("embed", "lm_head")}
+    else:
+        out = {k: out[k] for k in keys}
     return out
 
 
-def extras_specs(cfg: ModelConfig) -> Dict[str, Any]:
+def extras_specs(cfg: ModelConfig, keys=None) -> Dict[str, Any]:
     specs = {
         "embed": P(MODEL_AXIS, None),
         "final_norm": P(),
@@ -82,6 +96,9 @@ def extras_specs(cfg: ModelConfig) -> Dict[str, Any]:
     }
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, MODEL_AXIS)
+    if keys is not None:
+        # compress_embeddings mode drops embed/lm_head from extras.
+        specs = {k: specs[k] for k in keys}
     return specs
 
 
@@ -111,7 +128,8 @@ def shard_model(cfg: ModelConfig, params, mesh: Mesh):
 
 def shard_deltas(cfg: ModelConfig, deltas, mesh: Mesh,
                  tenant_stacked: bool = False):
-    return shard_tree(deltas, delta_specs(cfg, tenant_stacked), mesh)
+    return shard_tree(
+        deltas, delta_specs(cfg, tenant_stacked, keys=deltas.keys()), mesh)
 
 
 def shard_distill_step(step_fn, mesh: Mesh, batch_sharding: Optional[P] = None):

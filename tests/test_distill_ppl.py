@@ -144,3 +144,23 @@ def test_distillation_reduces_logit_mse():
     mse0 = float(jnp.mean((t - s0) ** 2))
     mse1 = float(jnp.mean((t - s1) ** 2))
     assert mse1 < mse0
+
+
+def test_distillation_trains_embed_and_head_scales():
+    cfg, base, fine = _pair(11)
+    key = jax.random.PRNGKey(99)
+    k1, k2 = jax.random.split(key)
+    fine["embed"] = base["embed"] + 0.03 * jax.random.normal(
+        k1, base["embed"].shape)
+    fine["lm_head"] = base["lm_head"] + 0.03 * jax.random.normal(
+        k2, base["lm_head"].shape)
+    comp = compress_model(base, fine, compress_embeddings=True)
+    s0_embed = float(comp.deltas["embed"].scale)
+    s0_head = float(comp.deltas["lm_head"].scale)
+    batches = synthetic_batches(cfg.vocab_size, 8, 2, 16, seed=42)
+    dcfg = DistillConfig(num_steps=8, compute_dtype="float32", lr=3e-3)
+    calib, losses = distill_scales(cfg, base, fine, comp, batches, dcfg)
+    assert losses[-1] < losses[0]
+    # The embed/head scales are trainable leaves and must have moved.
+    assert float(calib.deltas["embed"].scale) != s0_embed
+    assert float(calib.deltas["lm_head"].scale) != s0_head
