@@ -106,6 +106,16 @@ def body_pair_split(p, xq, acc):
     return acc + lo + hi
 
 
+def body_pair_fullx(p, xq, acc):
+    # pair formulation with a full-tile x operand (wrong math): isolates
+    # the per-plane (W,1)->(W,BN) lane-broadcast cost. xq here is fed as
+    # an independent (W, BN) array (see run_variant special case).
+    for s in range(16):
+        pair = (p >> s) & 0x00010001
+        acc += pair * xq
+    return acc
+
+
 def body_pair_nobc(p, xq, acc):
     # diagnostic: no per-plane lane-broadcast (wrong math) — isolates the
     # cost of broadcasting xq[:, s] across lanes each plane.
@@ -121,6 +131,7 @@ VARIANTS = {
     "pair_mul": (body_pair_mul, jnp.int32, jnp.int32, 32),
     "pair_split": (body_pair_split, jnp.int32, jnp.int32, 32),
     "pair_nobc": (body_pair_nobc, jnp.int32, jnp.int32, 32),
+    "pair_fullx": (body_pair_fullx, jnp.int32, jnp.int32, 32),
     "i32_incr": (body_i32_incr, jnp.int32, jnp.int32, 32),
     "i16_mul": (body_i16_mul, jnp.int16, jnp.int16, 16),
     "bf16_fma": (body_bf16_fma, jnp.int32, jnp.bfloat16, 32),
@@ -145,7 +156,11 @@ def run_variant(name):
         o_ref[:] = acc.astype(o_ref.dtype)
 
     key = jax.random.PRNGKey(0)
-    if pdtype == jnp.int16:
+    if name == "pair_fullx":
+        p = jax.random.randint(key, (W, BN), -2**31, 2**31 - 1, jnp.int32)
+        x = jax.random.randint(jax.random.PRNGKey(1), (W, BN), 0, 4095,
+                               jnp.int32)
+    elif pdtype == jnp.int16:
         p = jax.random.randint(key, (W, BN), -2**15, 2**15 - 1,
                                jnp.int32).astype(jnp.int16)
         x = jax.random.randint(jax.random.PRNGKey(1), (W, nbits), 0, 63,
