@@ -131,3 +131,39 @@ def test_export_full_model_roundtrip(hf_pair, tmp_path):
     w = hf_model.model.layers[0].mlp.down_proj.weight.detach().numpy()
     np.testing.assert_allclose(w.T, np.asarray(fused["layers"]["down_proj"][0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_train_serve_eval_with_compressed_embeddings(hf_pair, tmp_path,
+                                                     capsys):
+    """Full pipeline with --compress_embeddings: train -> artifact carries
+    embed/lm_head deltas -> serve smoke -> offline ppl, all offline."""
+    from bitdelta_tpu.cli.train import main as train_main
+    from bitdelta_tpu.cli.serve import main as serve_main
+    from bitdelta_tpu.cli.eval_ppl import main as ppl_main
+    from bitdelta_tpu.core.artifact import load_delta
+
+    base, fine, root = hf_pair
+    out = os.path.join(root, "out_ce")
+    train_main(["--base_model", base, "--finetuned_model", fine,
+                "--save_dir", out, "--num_steps", "2", "--batch_size", "2",
+                "--max_length", "16", "--dataset_name", "synthetic",
+                "--dtype", "float32", "--compress_embeddings"])
+    comp, _ = load_delta(os.path.join(out, "diff.safetensors"))
+    assert "embed" in comp.deltas and "lm_head" in comp.deltas
+    assert "embed" not in comp.extras
+
+    serve_main(["--base_model", base,
+                "--delta", f"tuned={os.path.join(out, 'diff.safetensors')}",
+                "--dtype", "float32", "--kernel", "xla", "--max_seq", "64",
+                "--smoke_test"])
+    assert "[smoke ok]" in capsys.readouterr().out
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("pack my box with five dozen liquor jugs. " * 400)
+    ppl_main(["--base_model", base, "--model_diff",
+              os.path.join(out, "diff.safetensors"),
+              "--text_file", str(corpus), "--context_size", "64",
+              "--window_size", "32", "--dtype", "float32",
+              "--save_dir", str(tmp_path)])
+    ppl = float(open(tmp_path / "ppl.txt").read())
+    assert np.isfinite(ppl) and ppl > 0
