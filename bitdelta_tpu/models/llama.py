@@ -387,7 +387,16 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
     else:
         k_all, v_all = k, v
 
-    attn = _attention(cfg, q, k_all, v_all, q_positions, kv_valid)
+    if kernel == "pallas" and cache_k is not None and sq == 1:
+        # Decode: flash kernel streams only each row's live cache blocks
+        # (the XLA path below reads the whole padded cache every step).
+        from ..ops.flash_decode import flash_decode_attention
+
+        attn = flash_decode_attention(
+            q[:, 0], k_all, v_all, q_positions[:, 0] + 1,
+            window=cfg.sliding_window)[:, None, :, :].reshape(b, sq, -1)
+    else:
+        attn = _attention(cfg, q, k_all, v_all, q_positions, kv_valid)
     x = x + proj("o_proj", attn)
 
     h = rms_norm(x, norm_w(p["mlp_norm"]), cfg.rms_norm_eps)
