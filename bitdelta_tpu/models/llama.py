@@ -167,7 +167,7 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
                    preferred_element_type=jnp.float32)
     if delta is not None:
         if tenant_ids is None:
-            if kernel == "pallas":
+            if kernel in ("pallas", "pallas_train"):
                 # Training/prefill shapes (M = B*S): MXU kernel with a
                 # custom VJP — gradients flow to x and scale without
                 # XLA's dense-mask materialization.
@@ -353,7 +353,8 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
                layer_deltas: Optional[Deltas], tenant_ids,
                q_positions, kv_valid, cos, sin,
                cache_k=None, cache_v=None, write_pos=None,
-               kernel: str = "xla"):
+               kernel: str = "xla", lengths=None,
+               flash_interpret: bool = False):
     """One decoder block. If cache_k/v given (decode), new K/V are written
     at ``write_pos`` per row and attention runs over the whole cache.
     Returns (x_out, new_cache_k, new_cache_v)."""
@@ -395,6 +396,16 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
         attn = flash_decode_attention(
             q[:, 0], k_all, v_all, q_positions[:, 0] + 1,
             window=cfg.sliding_window)[:, None, :, :].reshape(b, sq, -1)
+    elif (kernel == "pallas" and lengths is not None and sq > 1
+          and sq % 8 == 0 and k_all.shape[1] % 8 == 0):
+        # Fresh-sequence prefill (queries at positions 0..sq-1): blockwise
+        # online-softmax kernel — never materializes the (B,H,Sq,Sk)
+        # score tensor the XLA path below builds.
+        from ..ops.flash_prefill import flash_prefill_attention
+
+        attn = flash_prefill_attention(q, k_all, v_all, lengths,
+                                       window=cfg.sliding_window,
+                                       interpret=flash_interpret)
     else:
         attn = _attention(cfg, q, k_all, v_all, q_positions, kv_valid)
     x = x + proj("o_proj", attn)
@@ -413,7 +424,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
             compute_dtype=None,
             return_cache: bool = False,
             cache_max_seq: Optional[int] = None,
-            kernel: str = "xla"):
+            kernel: str = "xla",
+            _flash_interpret: bool = False):
     """Full-sequence forward (training / eval / prefill).
 
     Args:
@@ -451,7 +463,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
                 lp, ld = xs, None
             x, _, _ = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
                                  positions, kv_valid, cos, sin,
-                                 kernel=kernel)
+                                 kernel=kernel, lengths=lengths,
+                                 flash_interpret=_flash_interpret)
             return x, None
 
         x, _ = jax.lax.scan(body, x, layer_xs)
@@ -473,7 +486,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
                 cfg, compute_dtype, x, lp, ld, tenant_ids,
                 positions, kv_valid, cos, sin,
                 cache_k=cache_k0, cache_v=cache_k0,
-                write_pos=jnp.zeros((b,), jnp.int32), kernel=kernel)
+                write_pos=jnp.zeros((b,), jnp.int32), kernel=kernel,
+                lengths=lengths, flash_interpret=_flash_interpret)
             return x, (ck, cv)
 
         x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)

@@ -53,11 +53,15 @@ def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
     compute_dtype = jnp.dtype(dcfg.compute_dtype)
     s_params = student_params(base_params, compressed)
 
+    # "pallas_train" = differentiable subset: custom-VJP delta matmuls
+    # but XLA attention (the flash attention kernels are inference-only).
+    kernel = "pallas_train" if dcfg.kernel == "pallas" else dcfg.kernel
+
     def loss_fn(scales: Dict[str, jax.Array], batch: jax.Array) -> jax.Array:
         deltas = with_scales(compressed, scales).deltas
         student_logits = llama.forward(cfg, s_params, batch, deltas=deltas,
                                        compute_dtype=compute_dtype,
-                                       kernel=dcfg.kernel)
+                                       kernel=kernel)
         teacher_logits = jax.lax.stop_gradient(
             llama.forward(cfg, finetuned_params, batch,
                           compute_dtype=compute_dtype))
