@@ -157,8 +157,8 @@ def main():
         "xla_f32acc": lambda x, w: jnp.matmul(
             x, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16),
         "pallas_mxu_512x2048": lambda x, w: pallas_mxu(x, w, 512, 2048),
-        "pallas_mxu_1024x4096": lambda x, w: pallas_mxu(x, w, 1024, 4096),
-        "pallas_mxu_4096x1024": lambda x, w: pallas_mxu(x, w, 4096, 1024),
+        "pallas_mxu_1024x2048": lambda x, w: pallas_mxu(x, w, 1024, 2048),
+        "pallas_mxu_2048x1024": lambda x, w: pallas_mxu(x, w, 2048, 1024),
         "pallas_vpu_512x2048": lambda x, w: pallas_vpu(x, w, 512, 2048),
     }
     # correctness first
