@@ -102,9 +102,53 @@ def extras_specs(cfg: ModelConfig, keys=None) -> Dict[str, Any]:
     return specs
 
 
+def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
+    """Specs for a TenantStack's serving params (serving/stacking.py):
+    projections shard like :func:`param_specs`; tenant-stacked norms
+    ``(L, T, D)`` / ``(T, D)`` replicate (tiny); per-tenant embeds
+    ``(T, V, D)`` shard vocab rows and per-tenant heads ``(T, D, V)``
+    shard vocab cols on the model axis (shared 2-D variants — the
+    compress_embeddings mode — shard like the single-model specs)."""
+    layers: Dict[str, Any] = {"attn_norm": P(), "mlp_norm": P()}
+    for name in COLUMN_PARALLEL:
+        layers[name] = P(None, None, MODEL_AXIS)
+    for name in ROW_PARALLEL:
+        layers[name] = P(None, MODEL_AXIS, None)
+    specs: Dict[str, Any] = {"final_norm": P(), "layers": layers}
+    embed = params["embed"]
+    specs["embed"] = (P(None, MODEL_AXIS, None) if embed.ndim == 3
+                      else P(MODEL_AXIS, None))
+    if "lm_head" in params:
+        lm = params["lm_head"]
+        specs["lm_head"] = (P(None, None, MODEL_AXIS) if lm.ndim == 3
+                            else P(None, MODEL_AXIS))
+    return specs
+
+
+def shard_stack(cfg: ModelConfig, stack, mesh: Mesh):
+    """Shard a serving TenantStack (canonical delta layout) for TP/DP
+    multi-tenant serving. Packed tenant deltas shard exactly like their
+    base matrices; vocab_sizes replicate."""
+    params = shard_tree(stack.params,
+                        serving_param_specs(cfg, stack.params), mesh)
+    deltas = shard_deltas(cfg, stack.deltas, mesh, tenant_stacked=True)
+    vocab_sizes = jax.device_put(stack.vocab_sizes,
+                                 NamedSharding(mesh, P()))
+    return stack._replace(params=params, deltas=deltas,
+                          vocab_sizes=vocab_sizes)
+
+
 def cache_spec() -> P:
     """KVCache k/v ``(L, B, S, KV, hd)``: batch on data, heads on model."""
     return P(None, DATA_AXIS, None, MODEL_AXIS, None)
+
+
+def shard_cache(cache, mesh: Mesh):
+    """Place a KVCache with batch on data and kv-heads on model."""
+    return cache._replace(
+        k=jax.device_put(cache.k, NamedSharding(mesh, cache_spec())),
+        v=jax.device_put(cache.v, NamedSharding(mesh, cache_spec())),
+        length=jax.device_put(cache.length, NamedSharding(mesh, P())))
 
 
 def batch_spec() -> P:

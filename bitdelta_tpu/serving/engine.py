@@ -74,15 +74,29 @@ class Engine:
     def __init__(self, cfg: ModelConfig, stack: TenantStack, *,
                  max_slots: int = 8, max_seq: int = 1024,
                  prefill_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
-                 kernel: str = "auto", compute_dtype=None, seed: int = 0):
+                 kernel: str = "auto", compute_dtype=None, seed: int = 0,
+                 mesh=None):
+        """``mesh``: a ``(data, model)`` jax.sharding.Mesh — the stack
+        (base weights, packed tenant deltas, per-tenant extras) and the
+        KV cache are GSPMD-sharded over it (Megatron TP per
+        parallel/sharding.py; the 70B-serving configuration). The Pallas
+        kernels are single-device programs, so a multi-device mesh uses
+        the XLA kernel path (kernel="auto" resolves accordingly)."""
         self.cfg = cfg
         self.stack = stack
         self.max_slots = max_slots
         self.max_seq = max_seq
+        self.mesh = mesh
         self.prefill_buckets = sorted(b for b in prefill_buckets
                                       if b <= max_seq)
+        multi_device = mesh is not None and mesh.size > 1
         if kernel == "auto":
-            kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+            kernel = ("pallas" if jax.default_backend() == "tpu"
+                      and not multi_device else "xla")
+        if kernel == "pallas" and multi_device:
+            raise ValueError(
+                "kernel='pallas' requires a single-device engine; use "
+                "kernel='xla' (or 'auto') with a multi-device mesh")
         self.kernel = kernel
         if kernel == "pallas":
             # Decode hot path: pair-packed delta layout (same bytes as
@@ -95,6 +109,19 @@ class Engine:
         self.slots = [SlotState() for _ in range(max_slots)]
         self.cache = llama.init_cache(cfg, max_slots, max_seq,
                                       self.compute_dtype)
+        if mesh is not None:
+            from ..parallel import sharding as psh
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            dp, tp = mesh.shape[DATA_AXIS], mesh.shape[MODEL_AXIS]
+            if max_slots % dp:
+                raise ValueError(f"max_slots {max_slots} must be a "
+                                 f"multiple of the data axis ({dp})")
+            if cfg.num_kv_heads % tp:
+                raise ValueError(f"num_kv_heads {cfg.num_kv_heads} must "
+                                 f"be a multiple of the model axis ({tp})")
+            self.stack = stack = psh.shard_stack(cfg, stack, mesh)
+            self.cache = psh.shard_cache(self.cache, mesh)
         self.tenant_ids = np.zeros((max_slots,), np.int32)
         self.temps = np.zeros((max_slots,), np.float32)
         self.top_ks = np.zeros((max_slots,), np.int32)

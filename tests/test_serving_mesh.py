@@ -1,0 +1,94 @@
+"""Mesh-sharded serving engine: TP/DP multi-tenant decode on the 8
+fake-CPU-device mesh must match the single-device engine exactly.
+
+This is the 70B-serving configuration (base weights, packed tenant
+deltas, per-tenant extras and the KV cache all GSPMD-sharded; see
+parallel/sharding.py::shard_stack / shard_cache). The reference's only
+multi-GPU story is accelerate layer maps (SURVEY.md P2)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from bitdelta_tpu.core.compress import compress_model
+from bitdelta_tpu.models import config as cfgs
+from bitdelta_tpu.models import llama as jl
+from bitdelta_tpu.parallel import mesh as pmesh
+from bitdelta_tpu.serving.engine import Engine, Request
+from bitdelta_tpu.serving.stacking import stack_tenants
+
+
+def _make_world(num_tenants=2, seed=0, compress_embeddings=False):
+    # TP=4-shardable including the packed K axis: row-parallel deltas
+    # shard K//32 int32 words, so K must be a multiple of 32*4.
+    cfg = cfgs.tiny_test_config(vocab_size=128, hidden_size=128,
+                                intermediate_size=256, num_layers=2,
+                                num_heads=4, num_kv_heads=4,
+                                dtype="float32")
+    base = jl.init_params(cfg, jax.random.PRNGKey(seed), jnp.float32,
+                          scale=0.25)
+    tenants = []
+    for t in range(num_tenants):
+        fine = dict(base)
+        fine["layers"] = dict(base["layers"])
+        key = jax.random.PRNGKey(100 + t)
+        for name in jl.PROJ_NAMES:
+            key, sub = jax.random.split(key)
+            fine["layers"][name] = base["layers"][name] + (
+                0.05 * jax.random.normal(sub, base["layers"][name].shape))
+        key, sub = jax.random.split(key)
+        fine["embed"] = base["embed"] + 0.02 * jax.random.normal(
+            sub, base["embed"].shape)
+        tenants.append(compress_model(
+            base, fine, compress_embeddings=compress_embeddings))
+    return cfg, stack_tenants(cfg, base, tenants)
+
+
+def _run(cfg, stack, mesh):
+    eng = Engine(cfg, stack, max_slots=4, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla", mesh=mesh)
+    reqs = [Request(prompt_ids=[3, 5, 7, 9, 11], tenant_id=0,
+                    max_new_tokens=6),
+            Request(prompt_ids=[2, 4, 6], tenant_id=1, max_new_tokens=6),
+            Request(prompt_ids=[8, 8, 8, 8], tenant_id=0,
+                    max_new_tokens=4)]
+    return eng.generate(reqs)
+
+
+@pytest.mark.parametrize("compress_embeddings", [False, True])
+def test_mesh_engine_matches_single_device(compress_embeddings):
+    cfg, stack = _make_world(compress_embeddings=compress_embeddings)
+    want = _run(cfg, stack, None)
+    mesh = pmesh.make_mesh((2, 4), devices=jax.devices()[:8])
+    got = _run(cfg, stack, mesh)
+    assert got == want
+
+
+def test_mesh_engine_weights_partitioned():
+    cfg, stack = _make_world()
+    mesh = pmesh.make_mesh((2, 4), devices=jax.devices()[:8])
+    eng = Engine(cfg, stack, max_slots=4, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla", mesh=mesh)
+    gate = eng.stack.params["layers"]["gate_proj"]
+    # Column-parallel: each device holds 1/4 of N.
+    shard = gate.addressable_shards[0]
+    assert shard.data.shape[-1] == gate.shape[-1] // 4
+    packed = eng.stack.deltas["gate_proj"].packed
+    assert packed.addressable_shards[0].data.shape[-1] == \
+        packed.shape[-1] // 4
+    # Cache: batch over data (2), kv heads over model (4).
+    kshard = eng.cache.k.addressable_shards[0]
+    assert kshard.data.shape[1] == eng.cache.k.shape[1] // 2
+    assert kshard.data.shape[3] == eng.cache.k.shape[3] // 4
+
+
+def test_mesh_engine_validation():
+    cfg, stack = _make_world()
+    mesh = pmesh.make_mesh((2, 4), devices=jax.devices()[:8])
+    with pytest.raises(ValueError, match="max_slots"):
+        Engine(cfg, stack, max_slots=3, max_seq=64, kernel="xla",
+               mesh=mesh)
+    with pytest.raises(ValueError, match="pallas"):
+        Engine(cfg, stack, max_slots=4, max_seq=64, kernel="pallas",
+               mesh=mesh)
