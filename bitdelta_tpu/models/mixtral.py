@@ -98,12 +98,47 @@ def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d):
                       weight).astype(compute_dtype)
 
 
+def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
+           positions, kv_valid, cos, sin,
+           cache_k=None, cache_v=None, write_pos=None):
+    """One Mixtral block. With cache_k/v given, new K/V are scattered at
+    ``write_pos`` per row and attention runs over the whole cache (same
+    protocol as llama._layer_fwd). Returns (x, cache_k, cache_v)."""
+    b, sq, _ = x.shape
+    h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps)
+    q = _delta_matmul(h, p["q_proj"], d.get("q_proj"), compute_dtype)
+    k = _delta_matmul(h, p["k_proj"], d.get("k_proj"), compute_dtype)
+    v = _delta_matmul(h, p["v_proj"], d.get("v_proj"), compute_dtype)
+    q = apply_rope(q.reshape(b, sq, cfg.num_heads, cfg.head_dim), cos, sin)
+    k = apply_rope(k.reshape(b, sq, cfg.num_kv_heads, cfg.head_dim),
+                   cos, sin)
+    v = v.reshape(b, sq, cfg.num_kv_heads, cfg.head_dim)
+
+    if cache_k is not None:
+        rows = jnp.arange(b)
+        idx = write_pos[:, None] + jnp.arange(sq)[None, :]
+        cache_k = cache_k.at[rows[:, None], idx].set(k)
+        cache_v = cache_v.at[rows[:, None], idx].set(v)
+        k_all, v_all = cache_k, cache_v
+    else:
+        k_all, v_all = k, v
+
+    attn = _attention(cfg, q, k_all, v_all, positions, kv_valid)
+    x = x + _delta_matmul(attn, p["o_proj"], d.get("o_proj"), compute_dtype)
+    h = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
+    x = x + _moe_ffn(cfg, compute_dtype, h, p, d)
+    return x, cache_k, cache_v
+
+
 def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
             lengths: Optional[jax.Array] = None,
             deltas: Optional[Dict[str, Dict[str, BinaryDelta]]] = None,
-            compute_dtype=None):
+            compute_dtype=None,
+            return_cache: bool = False,
+            cache_max_seq: Optional[int] = None):
     """Full-sequence Mixtral forward. ``deltas``: dict name -> BinaryDelta
-    with leaves stacked ``(L, ...)`` (experts keep their E axis)."""
+    with leaves stacked ``(L, ...)`` (experts keep their E axis).
+    ``return_cache``: also return a KVCache for generation (prefill)."""
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
     b, s = tokens.shape
     if lengths is None:
@@ -111,36 +146,79 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
 
     x = _embed_lookup(params, tokens, None).astype(compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-    kv_valid = positions < lengths[:, None]
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
 
     layer_xs = params["layers"]
     if deltas is not None:
         layer_xs = (layer_xs, deltas)
 
+    if not return_cache:
+        kv_valid = positions < lengths[:, None]
+
+        def body(x, xs):
+            p, d = xs if deltas is not None else (xs, {})
+            x, _, _ = _layer(cfg, compute_dtype, x, p, d,
+                             positions, kv_valid, cos, sin)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, layer_xs)
+    else:
+        max_seq = cache_max_seq or s
+        kv_valid = jnp.arange(max_seq)[None, :] < lengths[:, None]
+        cache0 = jnp.zeros((b, max_seq, cfg.num_kv_heads, cfg.head_dim),
+                           compute_dtype)
+
+        def body_cache(x, xs):
+            p, d = xs if deltas is not None else (xs, {})
+            x, ck, cv = _layer(cfg, compute_dtype, x, p, d,
+                               positions, kv_valid, cos, sin,
+                               cache_k=cache0, cache_v=cache0,
+                               write_pos=jnp.zeros((b,), jnp.int32))
+            return x, (ck, cv)
+
+        x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)
+
+    x = rms_norm(x, _final_norm_w(params, None), cfg.rms_norm_eps)
+    logits = _lm_head_logits(params, x, None, compute_dtype)
+    if not return_cache:
+        return logits
+    return logits, KVCache(k=ks, v=vs, length=lengths)
+
+
+def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
+                tokens: jax.Array, cache: KVCache, *,
+                deltas: Optional[Dict[str, BinaryDelta]] = None,
+                compute_dtype=None):
+    """Single-token Mixtral decode: tokens ``(B, 1)`` appended at each
+    row's current length. Returns ``(logits (B, 1, V), new_cache)``.
+    Mirrors llama.decode_step; routing runs per decoded token."""
+    compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
+    b, sq = tokens.shape
+    positions = cache.length[:, None] + jnp.arange(sq)[None, :]
+    new_length = cache.length + sq
+    kv_valid = jnp.arange(cache.max_seq)[None, :] < new_length[:, None]
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+
+    x = _embed_lookup(params, tokens, None).astype(compute_dtype)
+    layer_xs = (params["layers"], cache.k, cache.v)
+    if deltas is not None:
+        layer_xs = (params["layers"], deltas, cache.k, cache.v)
+
     def body(x, xs):
         if deltas is not None:
-            p, d = xs
+            p, d, ck, cv = xs
         else:
-            p, d = xs, {}
-        h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps)
-        q = _delta_matmul(h, p["q_proj"], d.get("q_proj"), compute_dtype)
-        k = _delta_matmul(h, p["k_proj"], d.get("k_proj"), compute_dtype)
-        v = _delta_matmul(h, p["v_proj"], d.get("v_proj"), compute_dtype)
-        q = apply_rope(q.reshape(b, s, cfg.num_heads, cfg.head_dim), cos, sin)
-        k = apply_rope(k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
-                       cos, sin)
-        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-        attn = _attention(cfg, q, k, v, positions, kv_valid)
-        x = x + _delta_matmul(attn, p["o_proj"], d.get("o_proj"),
-                              compute_dtype)
-        h = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
-        x = x + _moe_ffn(cfg, compute_dtype, h, p, d)
-        return x, None
+            p, ck, cv = xs
+            d = {}
+        x, ck, cv = _layer(cfg, compute_dtype, x, p, d,
+                           positions, kv_valid, cos, sin,
+                           cache_k=ck, cache_v=cv, write_pos=cache.length)
+        return x, (ck, cv)
 
-    x, _ = jax.lax.scan(body, x, layer_xs)
+    x, (ks, vs) = jax.lax.scan(body, x, layer_xs)
     x = rms_norm(x, _final_norm_w(params, None), cfg.rms_norm_eps)
-    return _lm_head_logits(params, x, None, compute_dtype)
+    logits = _lm_head_logits(params, x, None, compute_dtype)
+    return logits, KVCache(k=ks, v=vs, length=new_length)
 
 
 def compress_mixtral(base_params, finetuned_params):

@@ -74,3 +74,40 @@ def test_mixtral_finetune_delta_compression(hf_mixtral):
     dense = sum(base["layers"][w].size * 4 for w in mx.EXPERT_MATS)
     packed = sum(comp.deltas[w].packed.size * 4 for w in mx.EXPERT_MATS)
     assert dense / packed > 30
+
+
+def test_mixtral_decode_matches_full_forward(hf_mixtral):
+    """Prefill (return_cache) + cached decode must reproduce the
+    full-forward logits token by token, including through 1-bit deltas
+    (the reference never had a Mixtral generation path at all)."""
+    hf_cfg, model = hf_mixtral
+    cfg = mx.MixtralConfig.from_hf_config(hf_cfg)
+    base = mx.params_from_torch_mixtral(cfg, model, jnp.float32)
+    fine = dict(base)
+    fine["layers"] = dict(base["layers"])
+    key = jax.random.PRNGKey(6)
+    for name in mx.ATTN_PROJS + mx.EXPERT_MATS:
+        key, sub = jax.random.split(key)
+        fine["layers"][name] = base["layers"][name] + (
+            0.02 * jax.random.normal(sub, base["layers"][name].shape))
+    comp = mx.compress_mixtral(base, fine)
+    sp = mx.mixtral_student_params(base, comp)
+
+    rng = np.random.default_rng(2)
+    full = rng.integers(0, 96, (2, 10), dtype=np.int64)
+    prompt_len = 6
+    lengths = jnp.asarray([prompt_len, prompt_len], jnp.int32)
+
+    _, cache = mx.forward(cfg, sp, jnp.asarray(full[:, :prompt_len]),
+                          lengths=lengths, deltas=comp.deltas,
+                          compute_dtype=jnp.float32,
+                          return_cache=True, cache_max_seq=16)
+    want = np.asarray(mx.forward(cfg, sp, jnp.asarray(full),
+                                 deltas=comp.deltas,
+                                 compute_dtype=jnp.float32))
+    for i in range(prompt_len, full.shape[1]):
+        logits, cache = mx.decode_step(
+            cfg, sp, jnp.asarray(full[:, i:i + 1]), cache,
+            deltas=comp.deltas, compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(logits[:, 0]), want[:, i],
+                                   rtol=2e-4, atol=2e-4)
