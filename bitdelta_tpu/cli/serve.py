@@ -82,9 +82,17 @@ def main(argv=None):
                           system_prompt=spec.get("system_prompt", ""))
                for spec in tenant_specs]
 
+    mesh_shape = A.parse_mesh(args.mesh)
+    mesh = None
+    if mesh_shape is not None:
+        from ..parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh(mesh_shape)
+        print(f"sharding stack over mesh {mesh_shape} (data, model)",
+              flush=True)
     engine = Engine(cfg, stack, max_slots=args.max_slots,
                     max_seq=args.max_seq, kernel=args.kernel,
-                    compute_dtype=dtype)
+                    compute_dtype=dtype, mesh=mesh)
     app = ServingApp(engine, tenants)
     if args.smoke_test:
         for line in app.generate_stream({"prompt": "Hello",

@@ -87,6 +87,23 @@ def test_serve_cli_smoke(hf_pair, capsys):
     assert any(l["done"] for l in lines)
 
 
+def test_serve_cli_mesh_smoke(hf_pair, capsys):
+    # --mesh shards the whole serving stack (data axis here; the tiny
+    # checkpoint's dims don't divide a model axis — TP is covered by
+    # tests/test_serving_mesh.py).
+    from bitdelta_tpu.cli.serve import main
+
+    base, fine, root = hf_pair
+    out = os.path.join(root, "out")
+    main(["--base_model", base,
+          "--delta", f"tuned={os.path.join(out, 'diff.safetensors')}",
+          "--dtype", "float32", "--kernel", "xla", "--max_seq", "64",
+          "--mesh", "2,1", "--smoke_test"])
+    captured = capsys.readouterr().out
+    assert "sharding stack over mesh (2, 1)" in captured
+    assert "[smoke ok]" in captured
+
+
 def test_eval_ppl_cli_offline(hf_pair, tmp_path, capsys):
     from bitdelta_tpu.cli.eval_ppl import main
 
