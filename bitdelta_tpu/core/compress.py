@@ -22,6 +22,11 @@ import jax.numpy as jnp
 from .delta import BinaryDelta, apply_delta, quantize_delta
 from ..models.llama import PROJ_NAMES, Params
 
+# Small per-layer tensors carried uncompressed with fine-tuned values
+# (whichever exist in the checkpoint): norms always; q/k/v biases for
+# Qwen2-style models.
+LAYER_EXTRA_NAMES = ("attn_norm", "mlp_norm", "q_bias", "k_bias", "v_bias")
+
 
 class CompressedModel(NamedTuple):
     """A fine-tune expressed against a base model.
@@ -51,9 +56,10 @@ def compress_model(base_params: Params, finetuned_params: Params, *,
     }
     extras: Dict[str, Any] = {
         "final_norm": finetuned_params["final_norm"],
-        "attn_norm": finetuned_params["layers"]["attn_norm"],
-        "mlp_norm": finetuned_params["layers"]["mlp_norm"],
     }
+    for name in LAYER_EXTRA_NAMES:
+        if name in finetuned_params["layers"]:
+            extras[name] = finetuned_params["layers"][name]
     if compress_embeddings:
         if finetuned_params["embed"].shape != base_params["embed"].shape:
             raise ValueError(
@@ -85,8 +91,9 @@ def student_params(base_params: Params, compressed: CompressedModel) -> Params:
     params["layers"] = dict(base_params["layers"])
     ex = compressed.extras
     params["final_norm"] = ex["final_norm"]
-    params["layers"]["attn_norm"] = ex["attn_norm"]
-    params["layers"]["mlp_norm"] = ex["mlp_norm"]
+    for name in LAYER_EXTRA_NAMES:
+        if name in ex:
+            params["layers"][name] = ex[name]
     if "embed" in ex:
         params["embed"] = ex["embed"]
         if "lm_head" in ex:

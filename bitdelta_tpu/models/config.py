@@ -14,6 +14,24 @@ from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    """RoPE frequency warping. ``rope_type``:
+
+      * "linear" — divide all frequencies by ``factor`` (position
+        interpolation; Vicuna-16k-style context extension, the
+        reference's default fine-tune arg, utils.py:12);
+      * "llama3" — Llama-3.1's wavelength-dependent warp: long
+        wavelengths scale by ``factor``, short ones stay, a smooth ramp
+        between ``low_freq_factor`` and ``high_freq_factor``.
+    """
+    rope_type: str = "llama3"
+    factor: float = 8.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+
+@dataclasses.dataclass(frozen=True)
 class ModelConfig:
     vocab_size: int
     hidden_size: int
@@ -23,9 +41,11 @@ class ModelConfig:
     num_kv_heads: int
     head_dim: Optional[int] = None
     rope_theta: float = 10000.0
+    rope_scaling: Optional[RopeScaling] = None
     rms_norm_eps: float = 1e-5
     max_seq_len: int = 4096
     sliding_window: Optional[int] = None  # Mistral-style local attention
+    attention_bias: bool = False          # Qwen2-style q/k/v biases
     tie_word_embeddings: bool = False
     dtype: str = "bfloat16"
 
@@ -46,8 +66,33 @@ class ModelConfig:
 
     @staticmethod
     def from_hf_config(hf) -> "ModelConfig":
-        """Build from a transformers PretrainedConfig (Llama/Mistral/TinyLlama)."""
+        """Build from a transformers PretrainedConfig (Llama 2/3,
+        Mistral, TinyLlama, Qwen2)."""
         get = lambda k, d=None: getattr(hf, k, d)
+        raw_scaling = get("rope_scaling", None)
+        scaling = None
+        if raw_scaling:
+            rtype = raw_scaling.get("rope_type",
+                                    raw_scaling.get("type", "default"))
+            if rtype == "default":
+                scaling = None
+            elif rtype == "linear":
+                scaling = RopeScaling(rope_type="linear",
+                                      factor=raw_scaling["factor"])
+            elif rtype == "llama3":
+                scaling = RopeScaling(
+                    rope_type="llama3",
+                    factor=raw_scaling["factor"],
+                    low_freq_factor=raw_scaling["low_freq_factor"],
+                    high_freq_factor=raw_scaling["high_freq_factor"],
+                    original_max_position_embeddings=raw_scaling[
+                        "original_max_position_embeddings"])
+            else:
+                raise ValueError(f"unsupported rope_scaling type {rtype!r}")
+        # Qwen2 always uses q/k/v biases (its config has no flag);
+        # Llama-family configs carry an explicit attention_bias.
+        attention_bias = bool(get(
+            "attention_bias", get("model_type", "") == "qwen2"))
         return ModelConfig(
             vocab_size=hf.vocab_size,
             hidden_size=hf.hidden_size,
@@ -57,9 +102,11 @@ class ModelConfig:
             num_kv_heads=get("num_key_value_heads", hf.num_attention_heads),
             head_dim=get("head_dim", None),
             rope_theta=get("rope_theta", 10000.0),
+            rope_scaling=scaling,
             rms_norm_eps=get("rms_norm_eps", 1e-5),
             max_seq_len=get("max_position_embeddings", 4096),
             sliding_window=get("sliding_window", None),
+            attention_bias=attention_bias,
             tie_word_embeddings=get("tie_word_embeddings", False),
         )
 

@@ -25,7 +25,7 @@ import numpy as np
 
 from .config import ModelConfig
 
-_LAYER_RE = re.compile(r"model\.layers\.(\d+)\.(.+)\.weight")
+_LAYER_RE = re.compile(r"model\.layers\.(\d+)\.(.+)\.(weight|bias)")
 
 # HF sub-name -> (our name, transpose?)
 _LAYER_MAP = {
@@ -40,6 +40,13 @@ _LAYER_MAP = {
     "post_attention_layernorm": ("mlp_norm", False),
 }
 
+# Qwen2-style attention biases (1-D, no transpose).
+_BIAS_MAP = {
+    "self_attn.q_proj": "q_bias",
+    "self_attn.k_proj": "k_bias",
+    "self_attn.v_proj": "v_bias",
+}
+
 
 def params_from_state_dict(cfg: ModelConfig,
                            tensors: Mapping[str, np.ndarray],
@@ -48,6 +55,9 @@ def params_from_state_dict(cfg: ModelConfig,
     L = cfg.num_layers
     layer_buf: Dict[str, list] = {name: [None] * L
                                   for name, _ in _LAYER_MAP.values()}
+    if cfg.attention_bias:
+        for name in _BIAS_MAP.values():
+            layer_buf[name] = [None] * L
     params: Dict[str, object] = {"layers": {}}
 
     for key, val in tensors.items():
@@ -62,7 +72,13 @@ def params_from_state_dict(cfg: ModelConfig,
             m = _LAYER_RE.fullmatch(key)
             if not m:
                 continue  # rotary inv_freq buffers etc.
-            idx, sub = int(m.group(1)), m.group(2)
+            idx, sub, kind = int(m.group(1)), m.group(2), m.group(3)
+            if kind == "bias":
+                if sub not in _BIAS_MAP:
+                    raise ValueError(f"unrecognized layer bias: {key}")
+                if cfg.attention_bias:
+                    layer_buf[_BIAS_MAP[sub]][idx] = val
+                continue
             if sub not in _LAYER_MAP:
                 raise ValueError(f"unrecognized layer tensor: {key}")
             name, transpose = _LAYER_MAP[sub]

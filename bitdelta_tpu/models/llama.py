@@ -77,14 +77,35 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 
 def rope_tables(positions: jax.Array, head_dim: int,
-                theta: float) -> tuple[jax.Array, jax.Array]:
+                theta: float, scaling=None) -> tuple[jax.Array, jax.Array]:
     """cos/sin tables, f32, shape ``(*positions.shape, head_dim)``.
 
     HF "rotate_half" convention: frequencies over the first half are
-    duplicated into the second half.
+    duplicated into the second half. ``scaling``: optional
+    :class:`..config.RopeScaling` — "linear" position interpolation or
+    the Llama-3.1 wavelength-dependent warp (matches transformers'
+    ROPE_INIT_FUNCTIONS["llama3"]).
     """
     half = head_dim // 2
     inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    if scaling is not None:
+        if scaling.rope_type == "linear":
+            inv_freq = inv_freq / scaling.factor
+        elif scaling.rope_type == "llama3":
+            wavelen = 2.0 * jnp.pi / inv_freq
+            orig = float(scaling.original_max_position_embeddings)
+            low_wl = orig / scaling.low_freq_factor
+            high_wl = orig / scaling.high_freq_factor
+            smooth = ((orig / wavelen - scaling.low_freq_factor)
+                      / (scaling.high_freq_factor - scaling.low_freq_factor))
+            warped = ((1.0 - smooth) * inv_freq / scaling.factor
+                      + smooth * inv_freq)
+            inv_freq = jnp.where(wavelen > low_wl,
+                                 inv_freq / scaling.factor, inv_freq)
+            medium = (wavelen <= low_wl) & (wavelen >= high_wl)
+            inv_freq = jnp.where(medium, warped, inv_freq)
+        else:
+            raise ValueError(f"unsupported rope scaling {scaling.rope_type!r}")
     freqs = positions.astype(jnp.float32)[..., None] * inv_freq
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
@@ -372,10 +393,24 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
             return w[tenant_ids]
         return w
 
+    def biased(name, y):
+        # Qwen2-style attention bias: (N,) shared or (T, N) per-tenant
+        # (fine-tuned biases are carried like norms — tiny, uncompressed).
+        bias = p.get(name.split("_")[0] + "_bias")
+        if bias is None:
+            return y
+        bias = norm_w(bias).astype(jnp.float32)
+        if bias.ndim == 2:
+            bias = bias[:, None, :]
+        return (y.astype(jnp.float32) + bias).astype(y.dtype)
+
     h = rms_norm(x, norm_w(p["attn_norm"]), cfg.rms_norm_eps)
-    q = proj("q_proj", h).reshape(b, sq, cfg.num_heads, cfg.head_dim)
-    k = proj("k_proj", h).reshape(b, sq, cfg.num_kv_heads, cfg.head_dim)
-    v = proj("v_proj", h).reshape(b, sq, cfg.num_kv_heads, cfg.head_dim)
+    q = biased("q_proj", proj("q_proj", h)).reshape(
+        b, sq, cfg.num_heads, cfg.head_dim)
+    k = biased("k_proj", proj("k_proj", h)).reshape(
+        b, sq, cfg.num_kv_heads, cfg.head_dim)
+    v = biased("v_proj", proj("v_proj", h)).reshape(
+        b, sq, cfg.num_kv_heads, cfg.head_dim)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -447,7 +482,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
     x = _embed_lookup(params, tokens, tenant_ids,
                       embed_delta).astype(compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                           cfg.rope_scaling)
 
     layer_xs = params["layers"]
     if deltas is not None:
@@ -519,7 +555,8 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
     new_length = cache.length + sq
     slot = jnp.arange(cache.max_seq)[None, :]
     kv_valid = slot < new_length[:, None]
-    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                           cfg.rope_scaling)
 
     deltas, embed_delta, head_delta = _split_deltas(deltas)
     x = _embed_lookup(params, tokens, tenant_ids,
@@ -575,6 +612,10 @@ def init_params(cfg: ModelConfig, key: jax.Array,
             "down_proj": n(L, I, D),
         },
     }
+    if cfg.attention_bias:
+        params["layers"]["q_bias"] = n(L, cfg.q_dim)
+        params["layers"]["k_bias"] = n(L, cfg.kv_dim)
+        params["layers"]["v_bias"] = n(L, cfg.kv_dim)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = n(D, cfg.vocab_size)
     return params

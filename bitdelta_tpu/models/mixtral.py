@@ -41,8 +41,12 @@ class MixtralConfig(ModelConfig):
     @staticmethod
     def from_hf_config(hf) -> "MixtralConfig":
         base = ModelConfig.from_hf_config(hf)
+        # Shallow field copy (dataclasses.asdict would recurse into the
+        # frozen RopeScaling and hand MixtralConfig a plain dict).
+        fields = {f.name: getattr(base, f.name)
+                  for f in dataclasses.fields(base)}
         return MixtralConfig(
-            **dataclasses.asdict(base),
+            **fields,
             num_experts=getattr(hf, "num_local_experts", 8),
             experts_per_token=getattr(hf, "num_experts_per_tok", 2))
 
@@ -146,7 +150,8 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
 
     x = _embed_lookup(params, tokens, None).astype(compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
-    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                           cfg.rope_scaling)
 
     layer_xs = params["layers"]
     if deltas is not None:
@@ -197,7 +202,8 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
     positions = cache.length[:, None] + jnp.arange(sq)[None, :]
     new_length = cache.length + sq
     kv_valid = jnp.arange(cache.max_seq)[None, :] < new_length[:, None]
-    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
+                           cfg.rope_scaling)
 
     x = _embed_lookup(params, tokens, None).astype(compute_dtype)
     layer_xs = (params["layers"], cache.k, cache.v)

@@ -93,12 +93,20 @@ def extras_specs(cfg: ModelConfig, keys=None) -> Dict[str, Any]:
         "final_norm": P(),
         "attn_norm": P(),
         "mlp_norm": P(),
+        # Qwen2-style attention biases (tiny — replicate).
+        "q_bias": P(),
+        "k_bias": P(),
+        "v_bias": P(),
     }
     if not cfg.tie_word_embeddings:
         specs["lm_head"] = P(None, MODEL_AXIS)
     if keys is not None:
-        # compress_embeddings mode drops embed/lm_head from extras.
+        # Pass keys=extras.keys(): compress_embeddings mode drops
+        # embed/lm_head, bias-less models have no q/k/v_bias.
         specs = {k: specs[k] for k in keys}
+    else:
+        specs = {k: v for k, v in specs.items()
+                 if k not in ("q_bias", "k_bias", "v_bias")}
     return specs
 
 
@@ -109,11 +117,14 @@ def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
     ``(T, V, D)`` shard vocab rows and per-tenant heads ``(T, D, V)``
     shard vocab cols on the model axis (shared 2-D variants — the
     compress_embeddings mode — shard like the single-model specs)."""
-    layers: Dict[str, Any] = {"attn_norm": P(), "mlp_norm": P()}
-    for name in COLUMN_PARALLEL:
-        layers[name] = P(None, None, MODEL_AXIS)
-    for name in ROW_PARALLEL:
-        layers[name] = P(None, MODEL_AXIS, None)
+    layers: Dict[str, Any] = {}
+    for name in params["layers"]:
+        if name in COLUMN_PARALLEL:
+            layers[name] = P(None, None, MODEL_AXIS)
+        elif name in ROW_PARALLEL:
+            layers[name] = P(None, MODEL_AXIS, None)
+        else:
+            layers[name] = P()  # norms / attention biases: replicate
     specs: Dict[str, Any] = {"final_norm": P(), "layers": layers}
     embed = params["embed"]
     specs["embed"] = (P(None, MODEL_AXIS, None) if embed.ndim == 3

@@ -88,13 +88,15 @@ def stack_tenants(cfg: ModelConfig, base_params: Params,
                                   for c in tenants], np.int32)
     vmax = int(vocab_sizes.max())
 
+    from ..core.compress import LAYER_EXTRA_NAMES
+
     params: Params = {
         "final_norm": jnp.stack([c.extras["final_norm"] for c in tenants]),
         "layers": {
-            "attn_norm": jnp.stack([c.extras["attn_norm"] for c in tenants],
-                                   axis=1),
-            "mlp_norm": jnp.stack([c.extras["mlp_norm"] for c in tenants],
-                                  axis=1),
+            # norms/biases: (L, X) per tenant -> (L, T, X), selected per
+            # batch row in the model's norm_w / biased helpers.
+            name: jnp.stack([c.extras[name] for c in tenants], axis=1)
+            for name in LAYER_EXTRA_NAMES if name in tenants[0].extras
         },
     }
     for name in PROJ_NAMES:

@@ -205,3 +205,93 @@ def test_tied_embeddings():
     toks = jnp.asarray([[1, 2, 3]])
     logits = jl.forward(cfg, params, toks, compute_dtype=jnp.float32)
     assert logits.shape == (1, 3, cfg.vocab_size)
+
+
+def test_llama31_rope_scaling_matches_transformers():
+    # Llama-3.1-style wavelength-warped RoPE: seq > original_max/4 so the
+    # warp actually changes frequencies vs plain theta.
+    hf_cfg, model = _tiny_hf_llama(
+        seed=7,
+        rope_scaling={"rope_type": "llama3", "factor": 4.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 16},
+        max_position_embeddings=64, rope_theta=10000.0)
+    tokens = np.random.default_rng(7).integers(0, 128, (1, 48),
+                                               dtype=np.int64)
+    cfg = cfgs.ModelConfig.from_hf_config(hf_cfg)
+    assert cfg.rope_scaling is not None
+    assert cfg.rope_scaling.rope_type == "llama3"
+    _logits_parity(hf_cfg, model, tokens)
+
+
+def test_linear_rope_scaling_matches_transformers():
+    hf_cfg, model = _tiny_hf_llama(
+        seed=8, rope_scaling={"rope_type": "linear", "factor": 2.0})
+    tokens = np.random.default_rng(8).integers(0, 128, (1, 24),
+                                               dtype=np.int64)
+    cfg = cfgs.ModelConfig.from_hf_config(hf_cfg)
+    assert cfg.rope_scaling.rope_type == "linear"
+    _logits_parity(hf_cfg, model, tokens)
+
+
+def _tiny_hf_qwen2(seed=9):
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(seed)
+    hf_cfg = Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-6,
+        tie_word_embeddings=False, attn_implementation="eager",
+        sliding_window=None, use_sliding_window=False)
+    model = Qwen2ForCausalLM(hf_cfg).eval().float()
+    return hf_cfg, model
+
+
+def test_qwen2_logits_match_transformers():
+    # Qwen2 = llama arch + q/k/v biases; parity pins the bias path.
+    hf_cfg, model = _tiny_hf_qwen2()
+    cfg = cfgs.ModelConfig.from_hf_config(hf_cfg)
+    assert cfg.attention_bias
+    tokens = np.random.default_rng(9).integers(0, 128, (2, 16),
+                                               dtype=np.int64)
+    _logits_parity(hf_cfg, model, tokens)
+
+
+def test_qwen2_compress_and_decode():
+    # Fine-tune with changed weights AND biases; compression carries the
+    # biases as extras, cached decode matches the full forward.
+    from bitdelta_tpu.core.compress import compress_model, student_params
+
+    hf_cfg, model = _tiny_hf_qwen2(seed=10)
+    cfg = cfgs.ModelConfig.from_hf_config(hf_cfg)
+    base = params_from_torch_model(cfg, model, jnp.float32)
+    fine = dict(base)
+    fine["layers"] = dict(base["layers"])
+    key = jax.random.PRNGKey(10)
+    for name in jl.PROJ_NAMES + ("q_bias", "k_bias", "v_bias"):
+        key, sub = jax.random.split(key)
+        fine["layers"][name] = base["layers"][name] + (
+            0.03 * jax.random.normal(sub, base["layers"][name].shape))
+
+    comp = compress_model(base, fine)
+    assert "q_bias" in comp.extras
+    sp = student_params(base, comp)
+    # Student uses the fine-tune's biases verbatim.
+    np.testing.assert_array_equal(np.asarray(sp["layers"]["q_bias"]),
+                                  np.asarray(fine["layers"]["q_bias"]))
+
+    toks = jnp.asarray(np.random.default_rng(3).integers(
+        0, 128, (2, 10), dtype=np.int64))
+    want = np.asarray(jl.forward(cfg, sp, toks, deltas=comp.deltas,
+                                 compute_dtype=jnp.float32))
+    _, cache = jl.forward(cfg, sp, toks[:, :6], deltas=comp.deltas,
+                          compute_dtype=jnp.float32, return_cache=True,
+                          cache_max_seq=16)
+    for i in range(6, 10):
+        logits, cache = jl.decode_step(cfg, sp, toks[:, i:i + 1], cache,
+                                       deltas=comp.deltas,
+                                       compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(logits[:, 0]), want[:, i],
+                                   rtol=2e-4, atol=2e-4)

@@ -156,3 +156,39 @@ def test_stack_memory_accounting():
     # (fp32 base here -> 32x packing vs fp32).
     dense_projs = sum(base["layers"][n].size * 4 for n in jl.PROJ_NAMES)
     assert nb["deltas_bytes"] < dense_projs
+
+
+def test_engine_with_attention_bias_tenants():
+    """Qwen2-style tenants: per-tenant fine-tuned q/k/v biases are
+    stacked (L, T, N) and selected per batch row, like norms."""
+    cfg = cfgs.tiny_test_config(vocab_size=64, hidden_size=32,
+                                intermediate_size=64, num_layers=2,
+                                num_heads=2, num_kv_heads=2,
+                                dtype="float32", attention_bias=True)
+    base = jl.init_params(cfg, jax.random.PRNGKey(21), jnp.float32,
+                          scale=0.25)
+    tenants = []
+    for t in range(2):
+        fine = dict(base)
+        fine["layers"] = dict(base["layers"])
+        key = jax.random.PRNGKey(300 + t)
+        for name in jl.PROJ_NAMES + ("q_bias", "k_bias", "v_bias"):
+            key, sub = jax.random.split(key)
+            fine["layers"][name] = base["layers"][name] + (
+                0.05 * jax.random.normal(sub, base["layers"][name].shape))
+        tenants.append(compress_model(base, fine))
+    stack = stack_tenants(cfg, base, tenants)
+    assert stack.params["layers"]["q_bias"].shape == (2, 2, cfg.q_dim)
+
+    eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla")
+    prompt = [5, 9, 2, 7]
+    outs = eng.generate([Request(prompt_ids=prompt, tenant_id=0,
+                                 max_new_tokens=5),
+                         Request(prompt_ids=prompt, tenant_id=1,
+                                 max_new_tokens=5)])
+    for t in range(2):
+        manual = _manual_greedy(cfg, base, tenants[t], prompt, 5)
+        assert outs[t] == manual
+    # Same prompt, different tenants (different biases) must diverge.
+    assert outs[0] != outs[1]
