@@ -192,3 +192,37 @@ def test_engine_with_attention_bias_tenants():
         assert outs[t] == manual
     # Same prompt, different tenants (different biases) must diverge.
     assert outs[0] != outs[1]
+
+
+def test_slot_placement_prefers_tenant_adjacency():
+    """Same-tenant requests land in adjacent slots (the decode kernel
+    skips the packed-block DMA for consecutive same-tenant rows)."""
+    cfg, base, tenants, stack = _make_world(num_tenants=3)
+    eng = Engine(cfg, stack, max_slots=6, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla")
+    s0 = eng.submit(Request(prompt_ids=[1, 2], tenant_id=1,
+                            max_new_tokens=32))
+    assert s0 == 0
+    # A tenant-2 request takes the lowest free slot (no same-tenant
+    # neighbor exists anywhere).
+    s1 = eng.submit(Request(prompt_ids=[1, 2], tenant_id=2,
+                            max_new_tokens=32))
+    assert s1 == 1
+    # A tenant-1 request prefers the slot adjacent to slot 0 — but 1 is
+    # taken, so... slot 1's neighbor slot 0 is tenant 1? slot 1 is busy.
+    # Free slots are 2..5; none neighbors a tenant-1 slot except none
+    # (slot 1 blocks adjacency to 0) -> falls back to lowest (2). A
+    # tenant-2 request prefers slot 2's neighbor: slot 2 free, adjacent
+    # to slot 1 (tenant 2) -> picks 2.
+    s2 = eng.submit(Request(prompt_ids=[1, 2], tenant_id=2,
+                            max_new_tokens=32))
+    assert s2 == 2
+    # Another tenant-2 request: slot 3 neighbors slot 2 (tenant 2).
+    s3 = eng.submit(Request(prompt_ids=[1, 2], tenant_id=2,
+                            max_new_tokens=32))
+    assert s3 == 3
+    # And a tenant-1 request: no free slot neighbors tenant 1 (slot 0's
+    # only neighbor is busy) -> lowest free = 4.
+    s4 = eng.submit(Request(prompt_ids=[1, 2], tenant_id=1,
+                            max_new_tokens=32))
+    assert s4 == 4
