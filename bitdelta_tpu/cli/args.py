@@ -35,6 +35,13 @@ def add_train_args(p: argparse.ArgumentParser):
                    help="also 1-bit-compress embeddings and lm_head "
                         "against the base (requires matching vocab; "
                         "beyond-reference — its stated future work)")
+    p.add_argument("--quantize_base", type=str, default=None,
+                   choices=("int8",),
+                   help="W8+W1: int8-quantize the base projections; "
+                        "deltas are taken against the dequantized base "
+                        "(the reference's quantized-base ablation) and "
+                        "serving streams the int8 base at half the "
+                        "footprint/traffic")
     p.add_argument("--debug", action="store_true")
 
 

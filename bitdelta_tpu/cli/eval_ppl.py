@@ -36,7 +36,15 @@ def main(argv=None):
     cfg, params = load_hf_params(args.base_model,
                                  dtype=jnp.dtype(args.dtype))
     if args.model_diff is not None:
-        comp, _ = load_delta(args.model_diff)
+        comp, _, meta = load_delta(args.model_diff, return_meta=True)
+        if meta.get("base_quant") == "int8":
+            # W8+W1 artifact: fuse against the int8 round-tripped base
+            # (what the deltas were taken against).
+            from ..research.quantized_base import (
+                dequantize_base_projections, quantize_base_projections)
+
+            params = dequantize_base_projections(
+                quantize_base_projections(params))
         params = fuse_compressed(params, comp)
 
     tokenizer = get_tokenizer(args.base_model)

@@ -67,10 +67,25 @@ def main(argv=None):
     cfg, base = load_hf_params(args.base_model, dtype=dtype)
 
     compressed = []
+    base_quants = set()
     for spec in tenant_specs:
         print(f"loading tenant {spec['name']} ...", flush=True)
-        comp, _ = load_delta(spec["diff_path"])
+        comp, _, meta = load_delta(spec["diff_path"], return_meta=True)
+        base_quants.add(meta.get("base_quant"))
         compressed.append(comp)
+    if len(base_quants) > 1:
+        raise SystemExit(f"tenants disagree on base_quant: {base_quants}")
+    base_quant = base_quants.pop()
+    if base_quant == "int8":
+        # W8+W1 artifacts: serve the int8 base (deltas were taken
+        # against its dequantized values — this is exact).
+        from ..research.quantized_base import quantize_base_projections
+
+        print("artifacts were built against an int8 base — serving the "
+              "W8 base (half footprint/traffic)", flush=True)
+        base = quantize_base_projections(base)
+    elif base_quant is not None:
+        raise SystemExit(f"unsupported artifact base_quant {base_quant!r}")
     stack = stack_tenants(cfg, base, compressed)
     mem = stack_nbytes(stack)
     print(f"base {mem['base_bytes']/1e9:.2f} GB + "

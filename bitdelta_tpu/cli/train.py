@@ -46,6 +46,18 @@ def main(argv=None):
     if (fcfg.hidden_size, fcfg.num_layers) != (cfg.hidden_size, cfg.num_layers):
         raise ValueError("base and fine-tune architectures differ")
 
+    if args.quantize_base:
+        # W8+W1: replace the base projections with their int8
+        # round-trip BEFORE compressing/distilling, so the deltas and
+        # the distilled scales are exact for int8-base serving.
+        from ..research.quantized_base import (
+            dequantize_base_projections, quantize_base_projections)
+
+        print(f"quantizing base projections ({args.quantize_base}) ...",
+              flush=True)
+        base = dequantize_base_projections(
+            quantize_base_projections(base), dtype)
+
     mesh_shape = A.parse_mesh(args.mesh)
     mesh = None
     if mesh_shape is not None:
@@ -72,7 +84,7 @@ def main(argv=None):
                 comp.extras,
                 psh.extras_specs(fcfg, keys=comp.extras.keys()), mesh))
     save_delta(os.path.join(args.save_dir, "diff_untrained.safetensors"),
-               comp, fcfg)
+               comp, fcfg, base_quant=args.quantize_base)
 
     tokenizer = get_tokenizer(args.finetuned_model or args.base_model)
     batches = get_calibration_batches(
@@ -94,7 +106,8 @@ def main(argv=None):
         with open(os.path.join(args.save_dir, "train_loss.json"), "w") as f:
             json.dump(losses, f)
 
-    save_delta(os.path.join(args.save_dir, "diff.safetensors"), comp, fcfg)
+    save_delta(os.path.join(args.save_dir, "diff.safetensors"), comp, fcfg,
+               base_quant=args.quantize_base)
     print(f"saved {os.path.join(args.save_dir, 'diff.safetensors')}")
 
     if args.save_full_model:

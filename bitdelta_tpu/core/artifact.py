@@ -30,7 +30,12 @@ FORMAT_VERSION = 1
 
 
 def save_delta(path: str, compressed: CompressedModel,
-               cfg: Optional[ModelConfig] = None) -> None:
+               cfg: Optional[ModelConfig] = None,
+               base_quant: Optional[str] = None) -> None:
+    """``base_quant``: record how the base must be quantized at load
+    time for the deltas to be exact (e.g. "int8" — the W8+W1 recipe,
+    research/quantized_base.py; deltas were taken against the
+    quantize-dequantized base)."""
     from safetensors.numpy import save_file
 
     tensors = {}
@@ -51,10 +56,15 @@ def save_delta(path: str, compressed: CompressedModel,
     meta = {"format_version": str(FORMAT_VERSION)}
     if cfg is not None:
         meta["model_config"] = json.dumps(dataclasses.asdict(cfg))
+    if base_quant is not None:
+        meta["base_quant"] = base_quant
     save_file(tensors, path, metadata=meta)
 
 
-def load_delta(path: str) -> Tuple[CompressedModel, Optional[ModelConfig]]:
+def load_delta(path: str, return_meta: bool = False):
+    """Returns ``(CompressedModel, ModelConfig | None)``; with
+    ``return_meta=True``, also the raw metadata dict (e.g.
+    ``base_quant``)."""
     from safetensors import safe_open
 
     deltas_raw: dict = {}
@@ -65,7 +75,12 @@ def load_delta(path: str) -> Tuple[CompressedModel, Optional[ModelConfig]]:
         if int(meta.get("format_version", "1")) > FORMAT_VERSION:
             raise ValueError("artifact written by a newer format version")
         if "model_config" in meta:
-            cfg = ModelConfig(**json.loads(meta["model_config"]))
+            raw = json.loads(meta["model_config"])
+            if raw.get("rope_scaling") is not None:
+                from ..models.config import RopeScaling
+
+                raw["rope_scaling"] = RopeScaling(**raw["rope_scaling"])
+            cfg = ModelConfig(**raw)
         for key in f.keys():
             t = f.get_tensor(key)
             if key.startswith("deltas."):
@@ -83,4 +98,7 @@ def load_delta(path: str) -> Tuple[CompressedModel, Optional[ModelConfig]]:
                           scale=jnp.asarray(fields["scale"], jnp.float32))
         for proj, fields in deltas_raw.items()
     }
-    return CompressedModel(deltas=deltas, extras=extras), cfg
+    result = CompressedModel(deltas=deltas, extras=extras)
+    if return_meta:
+        return result, cfg, meta
+    return result, cfg

@@ -122,6 +122,21 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def _base_matmul(x: jax.Array, w, compute_dtype) -> jax.Array:
+    """``x @ W_base`` in f32 accumulation. ``w`` is a dense matrix or an
+    Int8Weight (W8 serving mode, research/quantized_base.py): int8
+    contraction with the per-column scale applied to the accumulator —
+    halves base HBM traffic and footprint."""
+    from ..research.quantized_base import Int8Weight
+
+    if isinstance(w, Int8Weight):
+        y = jnp.matmul(x.astype(compute_dtype), w.q.astype(compute_dtype),
+                       preferred_element_type=jnp.float32)
+        return y * w.scale[..., None, :].astype(jnp.float32)
+    return jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+
+
 def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
           tenant_ids: Optional[jax.Array], compute_dtype,
           kernel: str = "xla") -> jax.Array:
@@ -142,9 +157,7 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
                 and x.shape[-2] == 1):
             from ..ops.pallas_binary_gemm import tenant_delta_matmul_pair_pallas
 
-            y = jnp.matmul(x[:, 0].astype(compute_dtype),
-                           w.astype(compute_dtype),
-                           preferred_element_type=jnp.float32)
+            y = _base_matmul(x[:, 0], w, compute_dtype)
             yd = tenant_delta_matmul_pair_pallas(
                 x[:, 0].astype(compute_dtype), delta.packed_pairs,
                 delta.colsum, delta.scale, tenant_ids,
@@ -161,9 +174,7 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
         # VPU bit-plane delta kernel (ops/pallas_binary_gemm.py notes).
         from ..ops.pallas_binary_gemm import tenant_delta_matmul_pallas
 
-        y = jnp.matmul(x[:, 0].astype(compute_dtype),
-                       w.astype(compute_dtype),
-                       preferred_element_type=jnp.float32)
+        y = _base_matmul(x[:, 0], w, compute_dtype)
         yd = tenant_delta_matmul_pallas(
             x[:, 0].astype(compute_dtype), delta.packed, delta.scale,
             tenant_ids, out_dtype=jnp.float32)
@@ -178,14 +189,12 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
 
         packed_t = delta.packed[tenant_ids[0]]
         scale_t = delta.scale[tenant_ids[0]]
-        y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
-                       preferred_element_type=jnp.float32)
+        y = _base_matmul(x, w, compute_dtype)
         yd = binary_matmul_pallas(x[0].astype(compute_dtype), packed_t,
                                   scale_t, out_dtype=jnp.float32)
         return (y + yd[None].astype(jnp.float32)).astype(compute_dtype)
 
-    y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
-                   preferred_element_type=jnp.float32)
+    y = _base_matmul(x, w, compute_dtype)
     if delta is not None:
         if tenant_ids is None:
             if kernel in ("pallas", "pallas_train"):

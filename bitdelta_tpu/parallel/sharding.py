@@ -117,14 +117,21 @@ def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
     ``(T, V, D)`` shard vocab rows and per-tenant heads ``(T, D, V)``
     shard vocab cols on the model axis (shared 2-D variants — the
     compress_embeddings mode — shard like the single-model specs)."""
+    from ..research.quantized_base import Int8Weight
+
     layers: Dict[str, Any] = {}
-    for name in params["layers"]:
+    for name, w in params["layers"].items():
         if name in COLUMN_PARALLEL:
-            layers[name] = P(None, None, MODEL_AXIS)
+            qspec, sspec = P(None, None, MODEL_AXIS), P(None, MODEL_AXIS)
         elif name in ROW_PARALLEL:
-            layers[name] = P(None, MODEL_AXIS, None)
+            qspec, sspec = P(None, MODEL_AXIS, None), P()
         else:
             layers[name] = P()  # norms / attention biases: replicate
+            continue
+        # Int8Weight (W8 base): q shards like the dense matrix; the
+        # per-output-column scale shards with N.
+        layers[name] = (Int8Weight(q=qspec, scale=sspec)
+                        if isinstance(w, Int8Weight) else qspec)
     specs: Dict[str, Any] = {"final_norm": P(), "layers": layers}
     embed = params["embed"]
     specs["embed"] = (P(None, MODEL_AXIS, None) if embed.ndim == 3

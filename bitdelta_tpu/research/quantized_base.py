@@ -51,6 +51,35 @@ def int8_matmul(x: jax.Array, w: Int8Weight,
     return (y * w.scale[..., None, :]).astype(x.dtype)
 
 
+def quantize_base_projections(params):
+    """W8 serving mode: convert every compressed projection of a params
+    pytree to :class:`Int8Weight` (per-output-channel symmetric RTN;
+    works on the layer-stacked ``(L, K, N)`` matrices). Embeddings,
+    lm_head and norms stay in their original dtype. The model's
+    ``_base_matmul`` dispatches on the leaf type, so the result drops
+    into forward/decode/serving unchanged — at half the base HBM
+    footprint and traffic."""
+    from ..models.llama import PROJ_NAMES
+
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    for name in PROJ_NAMES:
+        out["layers"][name] = quantize_int8(params["layers"][name])
+    return out
+
+
+def dequantize_base_projections(params, dtype=None):
+    """Inverse of :func:`quantize_base_projections` (materializes the
+    rounded dense weights — what deltas must be taken against)."""
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    for name, w in params["layers"].items():
+        if isinstance(w, Int8Weight):
+            out["layers"][name] = dequantize_int8(
+                w, dtype or jnp.bfloat16)
+    return out
+
+
 def quantize_base_with_delta(base: jax.Array, finetune: jax.Array):
     """The ablation's compression recipe: int8 the base, then 1-bit the
     residual fine-tune delta against the *dequantized* base."""

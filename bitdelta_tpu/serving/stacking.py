@@ -150,11 +150,16 @@ def _delta_nbytes(d) -> int:
     return d.packed.size * 4 + d.scale.size * 4
 
 
+def _weight_nbytes(w) -> int:
+    if hasattr(w, "q"):   # Int8Weight (W8 base serving mode)
+        return w.q.size + w.scale.size * 4
+    return w.size * w.dtype.itemsize
+
+
 def stack_nbytes(stack: TenantStack) -> Dict[str, float]:
     """Serving memory accounting: shared base vs per-tenant increments
     (the reference's '6x Mistral-7B in <30GB' headline, README.md:18)."""
-    base = sum(stack.params["layers"][n].size
-               * stack.params["layers"][n].dtype.itemsize
+    base = sum(_weight_nbytes(stack.params["layers"][n])
                for n in PROJ_NAMES)
     packed = sum(_delta_nbytes(d) for d in stack.deltas.values())
     extras = (stack.params["final_norm"].size * stack.params["final_norm"].dtype.itemsize

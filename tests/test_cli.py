@@ -184,3 +184,41 @@ def test_train_serve_eval_with_compressed_embeddings(hf_pair, tmp_path,
               "--save_dir", str(tmp_path)])
     ppl = float(open(tmp_path / "ppl.txt").read())
     assert np.isfinite(ppl) and ppl > 0
+
+
+def test_train_serve_eval_with_quantized_base(hf_pair, tmp_path, capsys):
+    """W8+W1 pipeline: --quantize_base int8 at train time records
+    base_quant in the artifact; serve auto-detects it and streams the
+    int8 base; eval fuses against the int8 round-trip."""
+    from bitdelta_tpu.cli.train import main as train_main
+    from bitdelta_tpu.cli.serve import main as serve_main
+    from bitdelta_tpu.cli.eval_ppl import main as ppl_main
+    from bitdelta_tpu.core.artifact import load_delta
+
+    base, fine, root = hf_pair
+    out = os.path.join(root, "out_w8")
+    train_main(["--base_model", base, "--finetuned_model", fine,
+                "--save_dir", out, "--num_steps", "2", "--batch_size", "2",
+                "--max_length", "16", "--dataset_name", "synthetic",
+                "--dtype", "float32", "--quantize_base", "int8"])
+    _, _, meta = load_delta(os.path.join(out, "diff.safetensors"),
+                            return_meta=True)
+    assert meta.get("base_quant") == "int8"
+
+    serve_main(["--base_model", base,
+                "--delta", f"w8={os.path.join(out, 'diff.safetensors')}",
+                "--dtype", "float32", "--kernel", "xla", "--max_seq", "64",
+                "--smoke_test"])
+    captured = capsys.readouterr().out
+    assert "serving the W8 base" in captured
+    assert "[smoke ok]" in captured
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("how vexingly quick daft zebras jump. " * 400)
+    ppl_main(["--base_model", base, "--model_diff",
+              os.path.join(out, "diff.safetensors"),
+              "--text_file", str(corpus), "--context_size", "64",
+              "--window_size", "32", "--dtype", "float32",
+              "--save_dir", str(tmp_path)])
+    ppl = float(open(tmp_path / "ppl.txt").read())
+    assert np.isfinite(ppl) and ppl > 0

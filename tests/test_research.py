@@ -146,3 +146,56 @@ def test_moe_ffn_routing_matches_dense_experts():
             h = h / (1 + np.exp(-h)) * (np.asarray(x)[mi] @ r3[ei])
             want[mi] += gates[mi, j] * (h @ r2[ei])
     np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-3)
+
+
+def test_w8_base_serving_matches_dequantized_dense():
+    """W8 serving mode end-to-end: an Engine over int8 base projections
+    greedy-matches the same model with the dequantized dense base (the
+    deltas were taken against the dequantized values, so these are the
+    same function up to matmul rounding)."""
+    import jax
+    import jax.numpy as jnp
+
+    from bitdelta_tpu.core.compress import compress_model
+    from bitdelta_tpu.models import config as cfgs
+    from bitdelta_tpu.models import llama as jl
+    from bitdelta_tpu.research.quantized_base import (
+        dequantize_base_projections, quantize_base_projections)
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import stack_nbytes, stack_tenants
+
+    cfg = cfgs.tiny_test_config(vocab_size=64, hidden_size=32,
+                                intermediate_size=64, num_layers=2,
+                                num_heads=2, num_kv_heads=2,
+                                dtype="float32")
+    dense = jl.init_params(cfg, jax.random.PRNGKey(0), jnp.float32,
+                           scale=0.25)
+    qbase = quantize_base_projections(dense)
+    deq = dequantize_base_projections(qbase, jnp.float32)
+
+    tenants = []
+    for t in range(2):
+        fine = dict(dense)
+        fine["layers"] = dict(dense["layers"])
+        key = jax.random.PRNGKey(400 + t)
+        for name in jl.PROJ_NAMES:
+            key, sub = jax.random.split(key)
+            fine["layers"][name] = dense["layers"][name] + (
+                0.05 * jax.random.normal(sub, dense["layers"][name].shape))
+        # Deltas against the dequantized base — the W8+W1 recipe.
+        tenants.append(compress_model(deq, fine))
+
+    outs = {}
+    for name, b in (("dense", deq), ("int8", qbase)):
+        stack = stack_tenants(cfg, b, tenants)
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla")
+        outs[name] = eng.generate(
+            [Request(prompt_ids=[3, 9, 4], tenant_id=t, max_new_tokens=6)
+             for t in range(2)])
+    assert outs["dense"] == outs["int8"]
+
+    # Memory accounting: int8 base ~half the dense base bytes.
+    nb_dense = stack_nbytes(stack_tenants(cfg, deq, tenants))
+    nb_int8 = stack_nbytes(stack_tenants(cfg, qbase, tenants))
+    assert nb_int8["base_bytes"] < 0.6 * nb_dense["base_bytes"]
