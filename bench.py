@@ -161,6 +161,15 @@ def main():
         params["layers"]["attn_norm"][:, None], (1, TENANTS, 1))
     serve_params["layers"]["mlp_norm"] = jnp.tile(
         params["layers"]["mlp_norm"][:, None], (1, TENANTS, 1))
+    quant_base = os.environ.get("BENCH_QUANT_BASE", "0") == "1"
+    if quant_base:
+        # W8+W1 mode: both sides serve the int8 base (apples-to-apples;
+        # halves base HBM traffic — measured 1.95x on the base matmul).
+        from bitdelta_tpu.research.quantized_base import (
+            quantize_base_projections)
+
+        serve_params = quantize_base_projections(serve_params)
+        params = quantize_base_projections(params)
     jax.block_until_ready(serve_params)
 
     kernel = "pallas" if backend == "tpu" else "xla"
