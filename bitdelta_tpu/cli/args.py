@@ -43,6 +43,9 @@ def add_train_args(p: argparse.ArgumentParser):
                         "serving streams the int8 base at half the "
                         "footprint/traffic")
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture a jax profiler trace of the distillation "
+                        "loop into this dir (view with xprof/TensorBoard)")
 
 
 def add_ppl_args(p: argparse.ArgumentParser):

@@ -99,8 +99,16 @@ def main(argv=None):
         kernel = "pallas" if _jax.default_backend() == "tpu" else "xla"
     dcfg = DistillConfig(lr=args.lr, num_steps=args.num_steps,
                          compute_dtype=args.dtype, kernel=kernel)
-    comp, losses = distill_scales(cfg, base, fine, comp, batches, dcfg,
-                                  mesh=mesh, progress=True)
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile_dir:
+        from ..utils.profiling import trace
+
+        profile_ctx = trace(args.profile_dir)
+    with profile_ctx:
+        comp, losses = distill_scales(cfg, base, fine, comp, batches, dcfg,
+                                      mesh=mesh, progress=True)
     print(f"distill loss {losses[0]:.6f} -> {losses[-1]:.6f}")
     if args.debug:
         with open(os.path.join(args.save_dir, "train_loss.json"), "w") as f:

@@ -130,6 +130,9 @@ class Engine:
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._prefill_fns: Dict[int, callable] = {}
+        from ..utils.profiling import StepTimer
+
+        self.timer = StepTimer()  # decode step-time / tok/s (see /stats)
         self._build_jits()
 
     # ------------------------------------------------------------------
@@ -305,12 +308,14 @@ class Engine:
 
             self._rng, sub = jax.random.split(self._rng)
             tokens = jnp.asarray(self._last_tokens[:, None])
-            nxt, self.cache = self._decode(
-                self.stack.params, self.stack.deltas, self.cache, tokens,
-                jnp.asarray(self.tenant_ids), jnp.asarray(self.temps),
-                jnp.asarray(self.top_ks), jnp.asarray(self.top_ps),
-                jnp.asarray(active), self.stack.vocab_sizes, sub)
-            nxt = np.asarray(nxt)
+            with self.timer.step(tokens=int(active.sum())):
+                nxt, self.cache = self._decode(
+                    self.stack.params, self.stack.deltas, self.cache,
+                    tokens, jnp.asarray(self.tenant_ids),
+                    jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+                    jnp.asarray(self.top_ps), jnp.asarray(active),
+                    self.stack.vocab_sizes, sub)
+                nxt = np.asarray(nxt)  # host sync inside the timed region
             for i in np.nonzero(active)[0]:
                 i = int(i)
                 st = self.slots[i]

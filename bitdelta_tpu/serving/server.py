@@ -209,6 +209,7 @@ def make_http_server(app: ServingApp, host: str = "0.0.0.0",
                     "kernel": eng.kernel,
                     "tenants": app.model_names(),
                     "memory_bytes": stack_nbytes(eng.stack),
+                    "decode": eng.timer.summary(),
                 }).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

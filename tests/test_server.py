@@ -86,6 +86,7 @@ def test_stats_endpoint(served_app):
     assert data["slots_total"] == 4
     assert data["tenants"] == ["alpha", "beta"]
     assert data["memory_bytes"]["base_bytes"] > 0
+    assert "tokens_per_sec" in data["decode"]
 
 
 def test_frontend_page(served_app):
