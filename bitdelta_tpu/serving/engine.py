@@ -68,6 +68,9 @@ class StepEvent:
     token: int
     finished: bool
     finish_reason: Optional[str] = None  # "stop" | "length" | "eos"
+    # False for finish-only events whose token was already delivered
+    # (a stop/limit detected before this step decoded anything new).
+    new_token: bool = True
 
 
 class Engine:
@@ -300,7 +303,7 @@ class Engine:
                     events.append(StepEvent(
                         slot=int(i), request_id=st.request.request_id,
                         token=st.generated[-1], finished=True,
-                        finish_reason=reason))
+                        finish_reason=reason, new_token=False))
                     st.active = False
                     active[i] = False
             if not active.any():

@@ -24,7 +24,9 @@ role-prefixed concatenation.
 
 from __future__ import annotations
 
+import itertools
 import json
+import queue
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Sequence
@@ -82,14 +84,40 @@ class TenantInfo:
 
 class ServingApp:
     """Engine + tenant metadata + request orchestration (transport-
-    agnostic; the HTTP handler below is one transport)."""
+    agnostic; the HTTP handler below is one transport).
+
+    Continuous batching at the HTTP layer: one shared stepper thread
+    drives ``engine.step()`` for ALL in-flight requests; each stream
+    consumes its own event queue, so concurrent clients interleave in
+    the same device batch instead of serializing (the reference demo
+    locksteps the whole batch, demo_backend.py:190-258)."""
 
     def __init__(self, engine: Engine, tenants: List[TenantInfo]):
         if engine.stack.num_tenants != len(tenants):
             raise ValueError("tenant metadata count != stacked tenants")
         self.engine = engine
         self.tenants = tenants
-        self._step_lock = threading.Lock()
+        self._mu = threading.Lock()          # engine admission + queue map
+        self._queues: Dict[str, "queue.Queue"] = {}   # request_id -> q
+        self._wake = threading.Event()
+        self._reqid = itertools.count()
+        self._stepper = threading.Thread(target=self._step_loop,
+                                         daemon=True, name="engine-stepper")
+        self._stepper.start()
+
+    def _step_loop(self):
+        while True:
+            self._wake.wait()
+            with self._mu:
+                events = self.engine.step()
+                for ev in events:
+                    q = self._queues.get(ev.request_id)
+                    if q is not None:
+                        q.put(ev)
+                        if ev.finished:
+                            self._queues.pop(ev.request_id, None)
+                if not any(s.active for s in self.engine.slots):
+                    self._wake.clear()
 
     def resolve_tenant(self, spec) -> int:
         if spec is None:
@@ -136,43 +164,61 @@ class ServingApp:
                 prompt_ids=self._prompt_ids(tn, body), tenant_id=tid,
                 max_new_tokens=max_new, temperature=temp,
                 top_k=top_k, top_p=top_p,
-                stop_token_ids=tn.stop_token_ids,
-                request_id=f"t{tid}"))
+                stop_token_ids=tn.stop_token_ids))
             metas.append(tn)
 
         eng = self.engine
-        with self._step_lock:
-            slot_to_i: Dict[int, int] = {}
-            texts = [""] * len(reqs)
-            gens: List[List[int]] = [[] for _ in reqs]
-            for i, r in enumerate(reqs):
-                slot = eng.submit(r)
-                slot_to_i[slot] = i
-                first = eng.slots[slot].generated[0]
-                if first not in metas[i].stop_token_ids:
-                    gens[i].append(first)
-                    texts[i] = metas[i].tokenizer.decode(gens[i])
-                    yield json.dumps({"tenant": metas[i].name,
-                                      "token_id": first,
-                                      "text": texts[i], "done": False}) + "\n"
-            while slot_to_i:
-                for ev in eng.step():
-                    i = slot_to_i.get(ev.slot)
-                    if i is None:
-                        continue
-                    is_stop = ev.finished and ev.finish_reason == "stop"
-                    # The engine appends exactly one token per step event;
-                    # stop tokens are excluded from the visible text.
-                    if not is_stop and len(gens[i]) < len(
-                            self.engine.slots[ev.slot].generated):
-                        gens[i].append(ev.token)
+        q: "queue.Queue" = queue.Queue()
+        rid_to_i: Dict[str, int] = {}
+        texts = [""] * len(reqs)
+        gens: List[List[int]] = [[] for _ in reqs]
+        first_lines: List[str] = []
+        with self._mu:
+            try:
+                for i, r in enumerate(reqs):
+                    r.request_id = f"req{next(self._reqid)}"
+                    slot = eng.submit(r)
+                    self._queues[r.request_id] = q
+                    rid_to_i[r.request_id] = i
+                    # First generated token comes from the prefill logits.
+                    first = eng.slots[slot].generated[0]
+                    if first not in metas[i].stop_token_ids:
+                        gens[i].append(first)
                         texts[i] = metas[i].tokenizer.decode(gens[i])
-                    yield json.dumps({"tenant": metas[i].name,
-                                      "token_id": ev.token,
-                                      "text": texts[i],
-                                      "done": ev.finished}) + "\n"
-                    if ev.finished:
-                        del slot_to_i[ev.slot]
+                        first_lines.append(json.dumps(
+                            {"tenant": metas[i].name, "token_id": first,
+                             "text": texts[i], "done": False}) + "\n")
+            except Exception:
+                for rid in rid_to_i:
+                    self._queues.pop(rid, None)
+                raise
+            self._wake.set()
+        try:
+            yield from first_lines
+            while rid_to_i:
+                ev = q.get()
+                i = rid_to_i.get(ev.request_id)
+                if i is None:
+                    continue
+                is_stop = ev.finished and ev.finish_reason == "stop"
+                # Stop tokens and already-delivered finish-only tokens
+                # are excluded from the visible text.
+                if ev.new_token and not is_stop:
+                    gens[i].append(ev.token)
+                    texts[i] = metas[i].tokenizer.decode(gens[i])
+                yield json.dumps({"tenant": metas[i].name,
+                                  "token_id": ev.token,
+                                  "text": texts[i],
+                                  "done": ev.finished}) + "\n"
+                if ev.finished:
+                    del rid_to_i[ev.request_id]
+        finally:
+            # Client gone mid-stream: stop routing events (generation
+            # still runs to completion in the engine, as before).
+            if rid_to_i:
+                with self._mu:
+                    for rid in rid_to_i:
+                        self._queues.pop(rid, None)
 
 
 def make_http_server(app: ServingApp, host: str = "0.0.0.0",

@@ -49,35 +49,55 @@ def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
                       mesh=None, batch_sharding=None):
     """Build the jitted (scales, opt_state, batch) -> (scales, opt_state,
     loss) step. ``finetuned_params`` is the teacher; gradients flow only
-    into the scales pytree."""
+    into the scales pytree.
+
+    The big pytrees (student/teacher weights, packed sign masks) enter
+    the jit as ARGUMENTS, not captured constants — closing over them
+    embeds ~2x model-size constants into the lowered program (at 7B
+    that's >7 GB shipped through compilation; jax warns via
+    JAX_CAPTURED_CONSTANTS_WARN_BYTES)."""
+    from ..core.delta import BinaryDelta
+
     compute_dtype = jnp.dtype(dcfg.compute_dtype)
     s_params = student_params(base_params, compressed)
+    packed = {name: d.packed for name, d in compressed.deltas.items()}
 
     # "pallas_train" = differentiable subset: custom-VJP delta matmuls
     # but XLA attention (the flash attention kernels are inference-only).
     kernel = "pallas_train" if dcfg.kernel == "pallas" else dcfg.kernel
 
-    def loss_fn(scales: Dict[str, jax.Array], batch: jax.Array) -> jax.Array:
-        deltas = with_scales(compressed, scales).deltas
-        student_logits = llama.forward(cfg, s_params, batch, deltas=deltas,
+    def loss_fn(scales: Dict[str, jax.Array], sp, tp, pk,
+                batch: jax.Array) -> jax.Array:
+        deltas = {name: BinaryDelta(packed=pk[name], scale=scales[name])
+                  for name in pk}
+        student_logits = llama.forward(cfg, sp, batch, deltas=deltas,
                                        compute_dtype=compute_dtype,
                                        kernel=kernel)
         teacher_logits = jax.lax.stop_gradient(
-            llama.forward(cfg, finetuned_params, batch,
-                          compute_dtype=compute_dtype))
+            llama.forward(cfg, tp, batch, compute_dtype=compute_dtype))
         diff = (teacher_logits - student_logits).astype(jnp.float32)
         return jnp.mean(diff * diff)
 
-    def step(scales, opt_state, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(scales, batch)
+    def step_inner(sp, tp, pk, scales, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(scales, sp, tp, pk, batch)
         updates, opt_state = optimizer.update(grads, opt_state, scales)
         scales = optax.apply_updates(scales, updates)
         return scales, opt_state, loss
 
+    jitted = jax.jit(step_inner, donate_argnums=(3, 4))
     if mesh is not None:
-        from ..parallel.sharding import shard_distill_step
-        return shard_distill_step(step, mesh, batch_sharding)
-    return jax.jit(step, donate_argnums=(0, 1))
+        from jax.sharding import NamedSharding
+        from ..parallel.sharding import batch_spec
+
+        bspec = NamedSharding(mesh, batch_sharding or batch_spec())
+
+    def step(scales, opt_state, batch):
+        if mesh is not None:
+            batch = jax.device_put(batch, bspec)
+        return jitted(s_params, finetuned_params, packed,
+                      scales, opt_state, batch)
+
+    return step
 
 
 def distill_scales(cfg: ModelConfig, base_params, finetuned_params,

@@ -97,8 +97,9 @@ def test_frontend_page(served_app):
 
 
 def test_concurrent_requests(served_app):
-    # Two clients streaming at once: the app serializes engine stepping;
-    # both must complete with well-formed streams.
+    # Two clients streaming at once: a shared stepper thread batches
+    # them into the same decode steps; both must complete with
+    # well-formed streams.
     import concurrent.futures
 
     url, _ = served_app
@@ -122,3 +123,25 @@ def test_unknown_route(served_app):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(url + "/nope", timeout=60)
     assert e.value.code == 404
+
+
+def test_streams_interleave_not_serialize(served_app):
+    """A short stream admitted while a long one is mid-flight completes
+    while the long one is still unfinished (true continuous batching at
+    the app layer; the old design serialized whole streams)."""
+    _, app = served_app
+
+    long_gen = app.generate_stream({"prompt": "abc", "tenant": "alpha",
+                                    "max_new_tokens": 40})
+    first_long = json.loads(next(long_gen))
+    assert not first_long["done"]
+
+    # Admit + fully consume a short stream while the long one is open.
+    short_lines = [json.loads(l) for l in app.generate_stream(
+        {"prompt": "xy", "tenant": "beta", "max_new_tokens": 3})]
+    assert short_lines[-1]["done"] and len(short_lines) == 3
+
+    rest = [json.loads(l) for l in long_gen]
+    assert rest, "long stream should still have tokens after the short one"
+    assert rest[-1]["done"]
+    assert len(rest) + 1 >= 40
