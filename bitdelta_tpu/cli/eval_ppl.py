@@ -35,6 +35,10 @@ def main(argv=None):
 
     cfg, params = load_hf_params(args.base_model,
                                  dtype=jnp.dtype(args.dtype))
+    from ..models.mixtral import MixtralConfig
+    model_mod = None
+    if isinstance(cfg, MixtralConfig):
+        from ..models import mixtral as model_mod
     if args.model_diff is not None:
         comp, _, meta = load_delta(args.model_diff, return_meta=True)
         if meta.get("base_quant") == "int8":
@@ -60,7 +64,7 @@ def main(argv=None):
 
     ppl = eval_ppl(cfg, params, token_ids,
                    context_size=args.context_size,
-                   window_size=args.window_size)
+                   window_size=args.window_size, model=model_mod)
     print(f"ppl: {ppl}")
     os.makedirs(args.save_dir, exist_ok=True)
     with open(os.path.join(args.save_dir, "ppl.txt"), "w") as f:

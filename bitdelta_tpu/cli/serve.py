@@ -105,9 +105,15 @@ def main(argv=None):
         mesh = pmesh.make_mesh(mesh_shape)
         print(f"sharding stack over mesh {mesh_shape} (data, model)",
               flush=True)
+    from ..models.mixtral import MixtralConfig
+    model_mod = None
+    if isinstance(cfg, MixtralConfig):
+        from ..models import mixtral as model_mod
+
+        print("mixtral checkpoint: serving the MoE decoder", flush=True)
     engine = Engine(cfg, stack, max_slots=args.max_slots,
                     max_seq=args.max_seq, kernel=args.kernel,
-                    compute_dtype=dtype, mesh=mesh)
+                    compute_dtype=dtype, mesh=mesh, model=model_mod)
     app = ServingApp(engine, tenants)
     if args.smoke_test:
         for line in app.generate_stream({"prompt": "Hello",

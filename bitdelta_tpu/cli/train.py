@@ -46,6 +46,15 @@ def main(argv=None):
     if (fcfg.hidden_size, fcfg.num_layers) != (cfg.hidden_size, cfg.num_layers):
         raise ValueError("base and fine-tune architectures differ")
 
+    from ..models.mixtral import MixtralConfig
+    model_mod = None  # default llama family
+    if isinstance(cfg, MixtralConfig):
+        from ..models import mixtral as model_mod
+        for flag in ("compress_embeddings", "quantize_base", "mesh",
+                     "save_full_model"):
+            if getattr(args, flag):
+                raise SystemExit(f"--{flag} is not supported for Mixtral")
+
     if args.quantize_base:
         # W8+W1: replace the base projections with their int8
         # round-trip BEFORE compressing/distilling, so the deltas and
@@ -74,8 +83,11 @@ def main(argv=None):
             f.write(f"corr,stddev\n{stats['corr']},{stats['stddev']}\n")
 
     print("compressing diff...", flush=True)
-    comp = compress_model(base, fine,
-                          compress_embeddings=args.compress_embeddings)
+    if model_mod is not None:  # Mixtral: attn + experts + router deltas
+        comp = model_mod.compress_mixtral(base, fine)
+    else:
+        comp = compress_model(base, fine,
+                              compress_embeddings=args.compress_embeddings)
     if mesh is not None:
         from ..parallel import sharding as psh
         comp = comp._replace(
@@ -108,7 +120,8 @@ def main(argv=None):
         profile_ctx = trace(args.profile_dir)
     with profile_ctx:
         comp, losses = distill_scales(cfg, base, fine, comp, batches, dcfg,
-                                      mesh=mesh, progress=True)
+                                      mesh=mesh, progress=True,
+                                      model=model_mod)
     print(f"distill loss {losses[0]:.6f} -> {losses[-1]:.6f}")
     if args.debug:
         with open(os.path.join(args.save_dir, "train_loss.json"), "w") as f:

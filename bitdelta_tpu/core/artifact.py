@@ -80,7 +80,12 @@ def load_delta(path: str, return_meta: bool = False):
                 from ..models.config import RopeScaling
 
                 raw["rope_scaling"] = RopeScaling(**raw["rope_scaling"])
-            cfg = ModelConfig(**raw)
+            if "num_experts" in raw:   # Mixtral artifact
+                from ..models.mixtral import MixtralConfig
+
+                cfg = MixtralConfig(**raw)
+            else:
+                cfg = ModelConfig(**raw)
         for key in f.keys():
             t = f.get_tensor(key)
             if key.startswith("deltas."):

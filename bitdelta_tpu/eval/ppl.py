@@ -43,10 +43,10 @@ def window_starts(seq_len: int, context_size: int, window_size: int):
     return starts, max_length, stride
 
 
-def _window_nll(cfg: ModelConfig, params, deltas, window: jax.Array,
+def _window_nll(cfg: ModelConfig, model, params, deltas, window: jax.Array,
                 stride: int, compute_dtype) -> jax.Array:
     """Mean nll of the last ``stride`` targets of one ``(B, T)`` window."""
-    logits = llama.forward(cfg, params, window, deltas=deltas,
+    logits = model.forward(cfg, params, window, deltas=deltas,
                            compute_dtype=compute_dtype).astype(jnp.float32)
     # Shifted CE: logits[t] predicts window[t+1].
     logp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
@@ -60,15 +60,17 @@ def _window_nll(cfg: ModelConfig, params, deltas, window: jax.Array,
 def eval_ppl(cfg: ModelConfig, params, token_ids: np.ndarray, *,
              context_size: int = 1024, window_size: int = 512,
              deltas=None, compute_dtype=None,
-             batch_windows: int = 1) -> float:
+             batch_windows: int = 1, model=None) -> float:
     """Perplexity of a 1-D token array under the model.
 
     ``deltas=None`` evaluates dense params (use
     :func:`bitdelta_tpu.core.compress.fuse_compressed` first to match the
     reference's dense-fusion eval, eval_ppl.py:49-51); passing deltas
     evaluates through the compressed kernel path instead — a capability
-    the reference lacks.
+    the reference lacks. ``model``: decoder module (default llama;
+    pass models.mixtral for MoE checkpoints).
     """
+    model = model if model is not None else llama
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
     token_ids = np.asarray(token_ids).reshape(-1)
     starts, max_length, stride = window_starts(
@@ -87,11 +89,14 @@ def eval_ppl(cfg: ModelConfig, params, token_ids: np.ndarray, *,
         windows = np.concatenate([windows, reps], axis=0)
     weights = np.concatenate([np.ones(nwin), np.zeros(pad)])
 
-    fn = jax.jit(lambda w: _window_nll(cfg, params, deltas, w, stride,
-                                       compute_dtype))
+    # params/deltas enter as jit ARGUMENTS (closing over them embeds
+    # model-size constants into the lowering; see train/distill.py).
+    fn = jax.jit(lambda p, d, w: _window_nll(cfg, model, p, d, w, stride,
+                                             compute_dtype))
     nlls = []
     for i in range(0, len(windows), batch_windows):
-        nlls.append(np.asarray(fn(jnp.asarray(windows[i:i + batch_windows]))))
+        nlls.append(np.asarray(fn(params, deltas,
+                                  jnp.asarray(windows[i:i + batch_windows]))))
     nlls = np.concatenate(nlls)
     mean_nll = float((nlls * weights).sum() / weights.sum())
     return float(np.exp(mean_nll))

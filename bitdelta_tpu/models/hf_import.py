@@ -120,14 +120,76 @@ def load_hf_config(ckpt_dir: str) -> ModelConfig:
         def __init__(self, d):
             self.__dict__.update(d)
 
+    if raw.get("model_type") == "mixtral":
+        from .mixtral import MixtralConfig
+
+        return MixtralConfig.from_hf_config(_Obj(raw))
     return ModelConfig.from_hf_config(_Obj(raw))
+
+
+_MIXTRAL_EXPERT_RE = re.compile(
+    r"model\.layers\.(\d+)\.block_sparse_moe\.experts\.(\d+)\.(w[123])\.weight")
+_MIXTRAL_LAYER_MAP = {
+    "self_attn.q_proj": "q_proj", "self_attn.k_proj": "k_proj",
+    "self_attn.v_proj": "v_proj", "self_attn.o_proj": "o_proj",
+    "block_sparse_moe.gate": "router",
+    "input_layernorm": "attn_norm",
+    "post_attention_layernorm": "mlp_norm",
+}
+
+
+def mixtral_params_from_state_dict(cfg, tensors: Mapping[str, np.ndarray],
+                                   dtype=jnp.bfloat16):
+    """Mixtral state dict -> our pytree (experts stacked ``(L, E, K, N)``)."""
+    L, E = cfg.num_layers, cfg.num_experts
+    norms = ("attn_norm", "mlp_norm")
+    layer_buf: Dict[str, list] = {
+        name: [None] * L for name in
+        list(_MIXTRAL_LAYER_MAP.values()) + ["w1", "w2", "w3"]}
+    for name in ("w1", "w2", "w3"):
+        layer_buf[name] = [[None] * E for _ in range(L)]
+    params: Dict[str, object] = {"layers": {}}
+
+    for key, val in tensors.items():
+        val = np.asarray(val)
+        if key == "model.embed_tokens.weight":
+            params["embed"] = val
+        elif key == "model.norm.weight":
+            params["final_norm"] = val
+        elif key == "lm_head.weight":
+            params["lm_head"] = val.T
+        elif (m := _MIXTRAL_EXPERT_RE.fullmatch(key)):
+            layer_buf[m.group(3)][int(m.group(1))][int(m.group(2))] = val.T
+        elif (m := _LAYER_RE.fullmatch(key)):
+            sub = m.group(2)
+            if sub not in _MIXTRAL_LAYER_MAP:
+                raise ValueError(f"unrecognized mixtral tensor: {key}")
+            name = _MIXTRAL_LAYER_MAP[sub]
+            layer_buf[name][int(m.group(1))] = (
+                val if name in norms else val.T)
+
+    for name, rows in layer_buf.items():
+        if name in ("w1", "w2", "w3"):
+            rows = [np.stack(r) for r in rows]
+        params["layers"][name] = jnp.asarray(np.stack(rows), dtype)
+    params["embed"] = jnp.asarray(params["embed"], dtype)
+    params["final_norm"] = jnp.asarray(params["final_norm"], dtype)
+    if "lm_head" in params:
+        params["lm_head"] = jnp.asarray(params["lm_head"], dtype)
+    return params
 
 
 def load_hf_params(ckpt_dir: str, cfg: Optional[ModelConfig] = None,
                    dtype=jnp.bfloat16):
-    """Load a local HF checkpoint dir into (config, params)."""
+    """Load a local HF checkpoint dir into (config, params). Routes by
+    model_type: Llama/Mistral/Qwen2 share the llama layout; Mixtral gets
+    expert-stacked MoE params."""
     cfg = cfg or load_hf_config(ckpt_dir)
     tensors = dict(_iter_safetensors(ckpt_dir))
+    from .mixtral import MixtralConfig
+
+    if isinstance(cfg, MixtralConfig):
+        return cfg, mixtral_params_from_state_dict(cfg, tensors, dtype)
     return cfg, params_from_state_dict(cfg, tensors, dtype)
 
 

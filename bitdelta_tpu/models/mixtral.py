@@ -28,7 +28,7 @@ from .config import ModelConfig
 from .llama import (KVCache, _attention, _embed_lookup, _final_norm_w,
                     _lm_head_logits, apply_rope, rms_norm, rope_tables)
 from ..core.delta import BinaryDelta, quantize_delta
-from ..ops.binary_matmul import binary_matmul
+from ..ops.binary_matmul import binary_matmul, tenant_binary_matmul
 
 import dataclasses
 
@@ -56,23 +56,33 @@ EXPERT_MATS = ("w1", "w3", "w2")  # gate, up, down (HF mixtral naming)
 MOE_PARTS = ATTN_PROJS + EXPERT_MATS + ("router",)
 
 
-def _delta_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype):
+def _delta_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
+                  tenant_ids=None):
     y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
                    preferred_element_type=jnp.float32)
     if delta is not None:
-        y = y + binary_matmul(x, delta.packed, delta.scale,
-                              compute_dtype=compute_dtype).astype(jnp.float32)
+        if tenant_ids is not None:
+            yd = tenant_binary_matmul(x, delta.packed, delta.scale,
+                                      tenant_ids, compute_dtype=compute_dtype)
+        else:
+            yd = binary_matmul(x, delta.packed, delta.scale,
+                               compute_dtype=compute_dtype)
+        y = y + yd.astype(jnp.float32)
     return y.astype(compute_dtype)
 
 
-def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d):
+def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None):
     """Top-k routed SwiGLU: x ``(B, S, D)``; expert weights
-    ``w1/w3 (E, D, I)``, ``w2 (E, I, D)``; router ``(D, E)``."""
+    ``w1/w3 (E, D, I)``, ``w2 (E, I, D)``; router ``(D, E)``. With
+    ``tenant_ids``, deltas are tenant-stacked ``(T, ...)`` and routed
+    per batch row."""
     b, s, dim = x.shape
     e, topk = cfg.num_experts, cfg.experts_per_token
 
-    router_logits = jnp.matmul(
-        x.astype(jnp.float32), p["router"].astype(jnp.float32))  # (B,S,E)
+    # Router delta applies like any other projection's.
+    router_logits = _delta_matmul(x, p["router"], d.get("router"),
+                                  jnp.float32, tenant_ids)       # (B,S,E)
+    router_logits = router_logits.astype(jnp.float32)
     topv, topi = jax.lax.top_k(router_logits, topk)
     gates = jax.nn.softmax(topv, axis=-1)                        # (B,S,k)
     weight = jnp.zeros((b, s, e), jnp.float32)
@@ -81,15 +91,19 @@ def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d):
         jnp.arange(s)[None, :, None], topi].set(gates)
 
     def expert(x_e, w1, w3, w2, d1, d3, d2):
-        h1 = _delta_matmul(x_e, w1, d1, compute_dtype)
-        h3 = _delta_matmul(x_e, w3, d3, compute_dtype)
+        h1 = _delta_matmul(x_e, w1, d1, compute_dtype, tenant_ids)
+        h3 = _delta_matmul(x_e, w3, d3, compute_dtype, tenant_ids)
         h = (jax.nn.silu(h1.astype(jnp.float32)).astype(compute_dtype) * h3)
-        return _delta_matmul(h, w2, d2, compute_dtype)
+        return _delta_matmul(h, w2, d2, compute_dtype, tenant_ids)
 
     def slice_d(name, i):
+        # Expert axis: packed (E, W, N) single-tenant, (T, E, W, N)
+        # tenant-stacked (after the layer slice).
         dd = d.get(name)
         if dd is None:
             return None
+        if tenant_ids is not None:
+            return BinaryDelta(packed=dd.packed[:, i], scale=dd.scale[:, i])
         return BinaryDelta(packed=dd.packed[i], scale=dd.scale[i])
 
     outs = []
@@ -104,15 +118,25 @@ def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d):
 
 def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
            positions, kv_valid, cos, sin,
-           cache_k=None, cache_v=None, write_pos=None):
+           cache_k=None, cache_v=None, write_pos=None, tenant_ids=None):
     """One Mixtral block. With cache_k/v given, new K/V are scattered at
     ``write_pos`` per row and attention runs over the whole cache (same
     protocol as llama._layer_fwd). Returns (x, cache_k, cache_v)."""
     b, sq, _ = x.shape
-    h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps)
-    q = _delta_matmul(h, p["q_proj"], d.get("q_proj"), compute_dtype)
-    k = _delta_matmul(h, p["k_proj"], d.get("k_proj"), compute_dtype)
-    v = _delta_matmul(h, p["v_proj"], d.get("v_proj"), compute_dtype)
+
+    def norm_w(w):
+        # (D,) shared, or tenant-stacked (T, D) selected per batch row.
+        if tenant_ids is not None and w.ndim == 2:
+            return w[tenant_ids]
+        return w
+
+    h = rms_norm(x, norm_w(p["attn_norm"]), cfg.rms_norm_eps)
+    q = _delta_matmul(h, p["q_proj"], d.get("q_proj"), compute_dtype,
+                      tenant_ids)
+    k = _delta_matmul(h, p["k_proj"], d.get("k_proj"), compute_dtype,
+                      tenant_ids)
+    v = _delta_matmul(h, p["v_proj"], d.get("v_proj"), compute_dtype,
+                      tenant_ids)
     q = apply_rope(q.reshape(b, sq, cfg.num_heads, cfg.head_dim), cos, sin)
     k = apply_rope(k.reshape(b, sq, cfg.num_kv_heads, cfg.head_dim),
                    cos, sin)
@@ -128,27 +152,34 @@ def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
         k_all, v_all = k, v
 
     attn = _attention(cfg, q, k_all, v_all, positions, kv_valid)
-    x = x + _delta_matmul(attn, p["o_proj"], d.get("o_proj"), compute_dtype)
-    h = rms_norm(x, p["mlp_norm"], cfg.rms_norm_eps)
-    x = x + _moe_ffn(cfg, compute_dtype, h, p, d)
+    x = x + _delta_matmul(attn, p["o_proj"], d.get("o_proj"), compute_dtype,
+                          tenant_ids)
+    h = rms_norm(x, norm_w(p["mlp_norm"]), cfg.rms_norm_eps)
+    x = x + _moe_ffn(cfg, compute_dtype, h, p, d, tenant_ids)
     return x, cache_k, cache_v
 
 
 def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
             lengths: Optional[jax.Array] = None,
             deltas: Optional[Dict[str, Dict[str, BinaryDelta]]] = None,
+            tenant_ids: Optional[jax.Array] = None,
             compute_dtype=None,
             return_cache: bool = False,
-            cache_max_seq: Optional[int] = None):
+            cache_max_seq: Optional[int] = None,
+            kernel: str = "xla"):
     """Full-sequence Mixtral forward. ``deltas``: dict name -> BinaryDelta
-    with leaves stacked ``(L, ...)`` (experts keep their E axis).
-    ``return_cache``: also return a KVCache for generation (prefill)."""
+    with leaves stacked ``(L, ...)`` (experts keep their E axis; with
+    ``tenant_ids`` a tenant axis follows the layer axis, multi-tenant
+    serving like llama.forward). ``return_cache``: also return a KVCache
+    for generation (prefill). ``kernel`` is accepted for engine
+    compatibility; Mixtral currently always uses the XLA lowering."""
+    del kernel
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
     b, s = tokens.shape
     if lengths is None:
         lengths = jnp.full((b,), s, jnp.int32)
 
-    x = _embed_lookup(params, tokens, None).astype(compute_dtype)
+    x = _embed_lookup(params, tokens, tenant_ids).astype(compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
                            cfg.rope_scaling)
@@ -163,7 +194,8 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
         def body(x, xs):
             p, d = xs if deltas is not None else (xs, {})
             x, _, _ = _layer(cfg, compute_dtype, x, p, d,
-                             positions, kv_valid, cos, sin)
+                             positions, kv_valid, cos, sin,
+                             tenant_ids=tenant_ids)
             return x, None
 
         x, _ = jax.lax.scan(body, x, layer_xs)
@@ -178,13 +210,14 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
             x, ck, cv = _layer(cfg, compute_dtype, x, p, d,
                                positions, kv_valid, cos, sin,
                                cache_k=cache0, cache_v=cache0,
-                               write_pos=jnp.zeros((b,), jnp.int32))
+                               write_pos=jnp.zeros((b,), jnp.int32),
+                               tenant_ids=tenant_ids)
             return x, (ck, cv)
 
         x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)
 
-    x = rms_norm(x, _final_norm_w(params, None), cfg.rms_norm_eps)
-    logits = _lm_head_logits(params, x, None, compute_dtype)
+    x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
+    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype)
     if not return_cache:
         return logits
     return logits, KVCache(k=ks, v=vs, length=lengths)
@@ -193,10 +226,13 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
 def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
                 tokens: jax.Array, cache: KVCache, *,
                 deltas: Optional[Dict[str, BinaryDelta]] = None,
-                compute_dtype=None):
+                tenant_ids: Optional[jax.Array] = None,
+                compute_dtype=None, kernel: str = "xla"):
     """Single-token Mixtral decode: tokens ``(B, 1)`` appended at each
     row's current length. Returns ``(logits (B, 1, V), new_cache)``.
-    Mirrors llama.decode_step; routing runs per decoded token."""
+    Mirrors llama.decode_step (incl. tenant routing); MoE routing runs
+    per decoded token. ``kernel`` accepted for engine compatibility."""
+    del kernel
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
     b, sq = tokens.shape
     positions = cache.length[:, None] + jnp.arange(sq)[None, :]
@@ -205,7 +241,7 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
                            cfg.rope_scaling)
 
-    x = _embed_lookup(params, tokens, None).astype(compute_dtype)
+    x = _embed_lookup(params, tokens, tenant_ids).astype(compute_dtype)
     layer_xs = (params["layers"], cache.k, cache.v)
     if deltas is not None:
         layer_xs = (params["layers"], deltas, cache.k, cache.v)
@@ -218,12 +254,13 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
             d = {}
         x, ck, cv = _layer(cfg, compute_dtype, x, p, d,
                            positions, kv_valid, cos, sin,
-                           cache_k=ck, cache_v=cv, write_pos=cache.length)
+                           cache_k=ck, cache_v=cv, write_pos=cache.length,
+                           tenant_ids=tenant_ids)
         return x, (ck, cv)
 
     x, (ks, vs) = jax.lax.scan(body, x, layer_xs)
-    x = rms_norm(x, _final_norm_w(params, None), cfg.rms_norm_eps)
-    logits = _lm_head_logits(params, x, None, compute_dtype)
+    x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
+    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype)
     return logits, KVCache(k=ks, v=vs, length=new_length)
 
 

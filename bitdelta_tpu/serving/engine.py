@@ -78,28 +78,38 @@ class Engine:
                  max_slots: int = 8, max_seq: int = 1024,
                  prefill_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
                  kernel: str = "auto", compute_dtype=None, seed: int = 0,
-                 mesh=None):
+                 mesh=None, model=None):
         """``mesh``: a ``(data, model)`` jax.sharding.Mesh — the stack
         (base weights, packed tenant deltas, per-tenant extras) and the
         KV cache are GSPMD-sharded over it (Megatron TP per
         parallel/sharding.py; the 70B-serving configuration). The Pallas
         kernels are single-device programs, so a multi-device mesh uses
-        the XLA kernel path (kernel="auto" resolves accordingly)."""
+        the XLA kernel path (kernel="auto" resolves accordingly).
+
+        ``model``: the decoder module to serve — anything exposing
+        ``forward`` / ``decode_step`` with the llama signatures (default
+        :mod:`..models.llama`; pass :mod:`..models.mixtral` for
+        multi-tenant MoE serving)."""
         self.cfg = cfg
         self.stack = stack
         self.max_slots = max_slots
         self.max_seq = max_seq
         self.mesh = mesh
+        self.model = model if model is not None else llama
+        is_llama = self.model is llama
         self.prefill_buckets = sorted(b for b in prefill_buckets
                                       if b <= max_seq)
         multi_device = mesh is not None and mesh.size > 1
         if kernel == "auto":
             kernel = ("pallas" if jax.default_backend() == "tpu"
-                      and not multi_device else "xla")
+                      and not multi_device and is_llama else "xla")
         if kernel == "pallas" and multi_device:
             raise ValueError(
                 "kernel='pallas' requires a single-device engine; use "
                 "kernel='xla' (or 'auto') with a multi-device mesh")
+        if kernel == "pallas" and not is_llama:
+            raise ValueError("kernel='pallas' is only wired for the llama "
+                             "family; use kernel='xla' (or 'auto')")
         self.kernel = kernel
         if kernel == "pallas":
             # Decode hot path: pair-packed delta layout (same bytes as
@@ -148,10 +158,12 @@ class Engine:
 
         from .sampling import sample_tokens
 
+        model = self.model
+
         def decode_fn(params, deltas, cache, tokens, tenant_ids, temps,
                       top_ks, top_ps, active, vocab_sizes, rng):
             old_len = cache.length
-            logits, cache = llama.decode_step(
+            logits, cache = model.decode_step(
                 cfg, params, tokens, cache, deltas=deltas,
                 tenant_ids=tenant_ids, compute_dtype=dtype, kernel=kernel)
             logits = logits[:, 0].astype(jnp.float32)  # (B, V)
@@ -180,10 +192,11 @@ class Engine:
         cfg, dtype, max_seq = self.cfg, self.compute_dtype, self.max_seq
 
         kernel = self.kernel
+        model = self.model
 
         def prefill_fn(params, deltas, tokens, length, tenant_id,
                        vocab_sizes):
-            logits, rowcache = llama.forward(
+            logits, rowcache = model.forward(
                 cfg, params, tokens, lengths=length, deltas=deltas,
                 tenant_ids=tenant_id, compute_dtype=dtype,
                 return_cache=True, cache_max_seq=max_seq, kernel=kernel)

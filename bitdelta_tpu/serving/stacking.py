@@ -68,10 +68,10 @@ def stack_tenants(cfg: ModelConfig, base_params: Params,
 
     deltas = {}
     for name in delta_keys:
-        # Proj deltas are layer-stacked (L, ...): tenant axis goes second
-        # -> (L, T, K//32, N). Embed/lm_head deltas have no layer axis ->
-        # (T, D//32, V).
-        axis = 1 if name in PROJ_NAMES else 0
+        # Layer-stacked deltas (projections; Mixtral expert mats keep
+        # their E axis after T): tenant axis goes second -> (L, T, ...).
+        # Embed/lm_head deltas have no layer axis -> (T, D//32, V).
+        axis = 0 if name in ("embed", "lm_head") else 1
         packed = jnp.stack([c.deltas[name].packed for c in tenants],
                            axis=axis)
         scale = jnp.stack(
@@ -99,8 +99,11 @@ def stack_tenants(cfg: ModelConfig, base_params: Params,
             for name in LAYER_EXTRA_NAMES if name in tenants[0].extras
         },
     }
-    for name in PROJ_NAMES:
-        params["layers"][name] = base_params["layers"][name]
+    # Shared base weights: every layer tensor that isn't a per-tenant
+    # extra (llama projections; Mixtral attn/expert/router matrices).
+    for name, w in base_params["layers"].items():
+        if name not in LAYER_EXTRA_NAMES:
+            params["layers"][name] = w
 
     if compressed_embeds:
         # Shared base embed/lm_head + per-tenant 1-bit deltas: the big
@@ -159,12 +162,17 @@ def _weight_nbytes(w) -> int:
 def stack_nbytes(stack: TenantStack) -> Dict[str, float]:
     """Serving memory accounting: shared base vs per-tenant increments
     (the reference's '6x Mistral-7B in <30GB' headline, README.md:18)."""
-    base = sum(_weight_nbytes(stack.params["layers"][n])
-               for n in PROJ_NAMES)
+    from ..core.compress import LAYER_EXTRA_NAMES
+
+    base = sum(_weight_nbytes(w)
+               for n, w in stack.params["layers"].items()
+               if n not in LAYER_EXTRA_NAMES)
     packed = sum(_delta_nbytes(d) for d in stack.deltas.values())
-    extras = (stack.params["final_norm"].size * stack.params["final_norm"].dtype.itemsize
-              + stack.params["layers"]["attn_norm"].size * stack.params["layers"]["attn_norm"].dtype.itemsize
-              + stack.params["layers"]["mlp_norm"].size * stack.params["layers"]["mlp_norm"].dtype.itemsize)
+    extras = (stack.params["final_norm"].size
+              * stack.params["final_norm"].dtype.itemsize)
+    extras += sum(w.size * w.dtype.itemsize
+                  for n, w in stack.params["layers"].items()
+                  if n in LAYER_EXTRA_NAMES)
     for name in ("embed", "lm_head"):
         w = stack.params.get(name)
         if w is None:

@@ -46,7 +46,7 @@ class DistillConfig(NamedTuple):
 def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
                       base_params, finetuned_params,
                       compressed: CompressedModel, optimizer,
-                      mesh=None, batch_sharding=None):
+                      mesh=None, batch_sharding=None, model=None):
     """Build the jitted (scales, opt_state, batch) -> (scales, opt_state,
     loss) step. ``finetuned_params`` is the teacher; gradients flow only
     into the scales pytree.
@@ -58,6 +58,7 @@ def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
     JAX_CAPTURED_CONSTANTS_WARN_BYTES)."""
     from ..core.delta import BinaryDelta
 
+    model = model if model is not None else llama
     compute_dtype = jnp.dtype(dcfg.compute_dtype)
     s_params = student_params(base_params, compressed)
     packed = {name: d.packed for name, d in compressed.deltas.items()}
@@ -70,11 +71,11 @@ def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
                 batch: jax.Array) -> jax.Array:
         deltas = {name: BinaryDelta(packed=pk[name], scale=scales[name])
                   for name in pk}
-        student_logits = llama.forward(cfg, sp, batch, deltas=deltas,
+        student_logits = model.forward(cfg, sp, batch, deltas=deltas,
                                        compute_dtype=compute_dtype,
                                        kernel=kernel)
         teacher_logits = jax.lax.stop_gradient(
-            llama.forward(cfg, tp, batch, compute_dtype=compute_dtype))
+            model.forward(cfg, tp, batch, compute_dtype=compute_dtype))
         diff = (teacher_logits - student_logits).astype(jnp.float32)
         return jnp.mean(diff * diff)
 
@@ -103,7 +104,7 @@ def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
 def distill_scales(cfg: ModelConfig, base_params, finetuned_params,
                    compressed: CompressedModel, batches,
                    dcfg: DistillConfig = DistillConfig(),
-                   mesh=None, progress: bool = False,
+                   mesh=None, progress: bool = False, model=None,
                    ) -> Tuple[CompressedModel, List[float]]:
     """Run scale distillation; returns (calibrated model, loss history).
 
@@ -121,7 +122,7 @@ def distill_scales(cfg: ModelConfig, base_params, finetuned_params,
     opt_state = optimizer.init(scales)
 
     step = make_distill_step(cfg, dcfg, base_params, finetuned_params,
-                             compressed, optimizer, mesh=mesh)
+                             compressed, optimizer, mesh=mesh, model=model)
 
     losses: List[float] = []
     for i, batch in enumerate(batches):

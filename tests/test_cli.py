@@ -222,3 +222,58 @@ def test_train_serve_eval_with_quantized_base(hf_pair, tmp_path, capsys):
               "--save_dir", str(tmp_path)])
     ppl = float(open(tmp_path / "ppl.txt").read())
     assert np.isfinite(ppl) and ppl > 0
+
+
+def test_mixtral_train_serve_eval_pipeline(tmp_path, capsys):
+    """Mixtral family through the full CLI pipeline: compress (attn +
+    experts + router) -> distill -> serve the MoE decoder -> offline ppl.
+    The reference had no Mixtral pipeline at all."""
+    import torch
+    from transformers import MixtralConfig as HFConfig, MixtralForCausalLM
+    from bitdelta_tpu.cli.train import main as train_main
+    from bitdelta_tpu.cli.serve import main as serve_main
+    from bitdelta_tpu.cli.eval_ppl import main as ppl_main
+    from bitdelta_tpu.core.artifact import load_delta
+
+    torch.manual_seed(1)
+    hf_cfg = HFConfig(vocab_size=320, hidden_size=64, intermediate_size=96,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, num_local_experts=4,
+                      num_experts_per_tok=2, max_position_embeddings=64,
+                      rms_norm_eps=1e-6, tie_word_embeddings=False)
+    base_m = MixtralForCausalLM(hf_cfg).eval()
+    base_dir = str(tmp_path / "mx_base")
+    base_m.save_pretrained(base_dir, safe_serialization=True)
+    with torch.no_grad():
+        for name, p in base_m.named_parameters():
+            if any(k in name for k in ("proj", ".w1.", ".w2.", ".w3.",
+                                       "gate")):
+                p.add_(0.02 * torch.randn_like(p))
+    fine_dir = str(tmp_path / "mx_fine")
+    base_m.save_pretrained(fine_dir, safe_serialization=True)
+
+    out = str(tmp_path / "mx_out")
+    train_main(["--base_model", base_dir, "--finetuned_model", fine_dir,
+                "--save_dir", out, "--num_steps", "2", "--batch_size", "2",
+                "--max_length", "16", "--dataset_name", "synthetic",
+                "--dtype", "float32"])
+    comp, art_cfg = load_delta(os.path.join(out, "diff.safetensors"))
+    assert {"w1", "w2", "w3", "router"} <= set(comp.deltas)
+
+    serve_main(["--base_model", base_dir,
+                "--delta", f"moe={os.path.join(out, 'diff.safetensors')}",
+                "--dtype", "float32", "--kernel", "auto", "--max_seq", "64",
+                "--smoke_test"])
+    captured = capsys.readouterr().out
+    assert "mixtral checkpoint" in captured
+    assert "[smoke ok]" in captured
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("sphinx of black quartz judge my vow. " * 400)
+    ppl_main(["--base_model", base_dir, "--model_diff",
+              os.path.join(out, "diff.safetensors"),
+              "--text_file", str(corpus), "--context_size", "32",
+              "--window_size", "16", "--dtype", "float32",
+              "--save_dir", str(tmp_path)])
+    ppl = float(open(tmp_path / "ppl.txt").read())
+    assert np.isfinite(ppl) and ppl > 0
