@@ -35,10 +35,8 @@ def main(argv=None):
 
     cfg, params = load_hf_params(args.base_model,
                                  dtype=jnp.dtype(args.dtype))
-    from ..models.mixtral import MixtralConfig
-    model_mod = None
-    if isinstance(cfg, MixtralConfig):
-        from ..models import mixtral as model_mod
+    from ..models import resolve_model_module
+    model_mod = resolve_model_module(cfg)
     if args.model_diff is not None:
         comp, _, meta = load_delta(args.model_diff, return_meta=True)
         if meta.get("base_quant") == "int8":
@@ -48,7 +46,7 @@ def main(argv=None):
                 dequantize_base_projections, quantize_base_projections)
 
             params = dequantize_base_projections(
-                quantize_base_projections(params))
+                quantize_base_projections(params), jnp.dtype(args.dtype))
         params = fuse_compressed(params, comp)
 
     tokenizer = get_tokenizer(args.base_model)

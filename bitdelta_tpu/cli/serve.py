@@ -105,11 +105,9 @@ def main(argv=None):
         mesh = pmesh.make_mesh(mesh_shape)
         print(f"sharding stack over mesh {mesh_shape} (data, model)",
               flush=True)
-    from ..models.mixtral import MixtralConfig
-    model_mod = None
-    if isinstance(cfg, MixtralConfig):
-        from ..models import mixtral as model_mod
-
+    from ..models import llama, resolve_model_module
+    model_mod = resolve_model_module(cfg)
+    if model_mod is not llama:
         print("mixtral checkpoint: serving the MoE decoder", flush=True)
     engine = Engine(cfg, stack, max_slots=args.max_slots,
                     max_seq=args.max_seq, kernel=args.kernel,

@@ -46,10 +46,10 @@ def main(argv=None):
     if (fcfg.hidden_size, fcfg.num_layers) != (cfg.hidden_size, cfg.num_layers):
         raise ValueError("base and fine-tune architectures differ")
 
-    from ..models.mixtral import MixtralConfig
-    model_mod = None  # default llama family
-    if isinstance(cfg, MixtralConfig):
-        from ..models import mixtral as model_mod
+    from ..models import llama, resolve_model_module
+    model_mod = resolve_model_module(cfg)
+    is_mixtral = model_mod is not llama
+    if is_mixtral:
         for flag in ("compress_embeddings", "quantize_base", "mesh",
                      "save_full_model"):
             if getattr(args, flag):
@@ -83,7 +83,7 @@ def main(argv=None):
             f.write(f"corr,stddev\n{stats['corr']},{stats['stddev']}\n")
 
     print("compressing diff...", flush=True)
-    if model_mod is not None:  # Mixtral: attn + experts + router deltas
+    if is_mixtral:  # attn + experts + router deltas
         comp = model_mod.compress_mixtral(base, fine)
     else:
         comp = compress_model(base, fine,

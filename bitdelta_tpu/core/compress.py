@@ -48,26 +48,15 @@ class CompressedModel(NamedTuple):
 
 
 def compress_model(base_params: Params, finetuned_params: Params, *,
-                   compress_embeddings: bool = False,
-                   quantize_base: str = None) -> CompressedModel:
-    """``quantize_base="int8"``: the W8+W1 recipe (the reference's
-    quantized-base ablation, docs/index.html:419-457) — deltas are taken
-    against the quantize-dequantized base so serving with
-    ``research.quantized_base.quantize_base_projections(base)`` is exact
-    (modulo the 1-bit delta itself)."""
-    base_layers = base_params["layers"]
-    if quantize_base == "int8":
-        from ..research.quantized_base import quantize_int8, dequantize_int8
-
-        base_layers = {
-            name: dequantize_int8(quantize_int8(base_layers[name]),
-                                  base_layers[name].dtype)
-            for name in PROJ_NAMES
-        }
-    elif quantize_base is not None:
-        raise ValueError(f"unsupported quantize_base {quantize_base!r}")
+                   compress_embeddings: bool = False) -> CompressedModel:
+    """For the W8+W1 recipe (the reference's quantized-base ablation,
+    docs/index.html:419-457), round-trip the base through
+    ``research.quantized_base.quantize_base_projections`` /
+    ``dequantize_base_projections`` BEFORE calling this (cli/train.py
+    does) — then deltas, distillation and int8-base serving all see the
+    same base weights."""
     deltas = {
-        name: quantize_delta(base_layers[name],
+        name: quantize_delta(base_params["layers"][name],
                              finetuned_params["layers"][name])
         for name in PROJ_NAMES
     }

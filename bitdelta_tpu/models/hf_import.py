@@ -161,8 +161,8 @@ def mixtral_params_from_state_dict(cfg, tensors: Mapping[str, np.ndarray],
         elif (m := _MIXTRAL_EXPERT_RE.fullmatch(key)):
             layer_buf[m.group(3)][int(m.group(1))][int(m.group(2))] = val.T
         elif (m := _LAYER_RE.fullmatch(key)):
-            sub = m.group(2)
-            if sub not in _MIXTRAL_LAYER_MAP:
+            sub, kind = m.group(2), m.group(3)
+            if kind != "weight" or sub not in _MIXTRAL_LAYER_MAP:
                 raise ValueError(f"unrecognized mixtral tensor: {key}")
             name = _MIXTRAL_LAYER_MAP[sub]
             layer_buf[name][int(m.group(1))] = (

@@ -23,7 +23,7 @@ model splitting via accelerate hooks (SURVEY.md section 2, P1/P2).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -194,14 +194,3 @@ def shard_deltas(cfg: ModelConfig, deltas, mesh: Mesh,
         deltas, delta_specs(cfg, tenant_stacked, keys=deltas.keys()), mesh)
 
 
-def shard_distill_step(step_fn, mesh: Mesh, batch_sharding: Optional[P] = None):
-    """Jit a (scales, opt_state, batch) step for a mesh: scales and
-    optimizer state replicated, batch sharded over the data axis. The
-    model params captured in the closure keep their committed shardings
-    (placed via :func:`shard_model` / :func:`shard_deltas`)."""
-    bspec = batch_sharding or batch_spec()
-    return jax.jit(
-        step_fn,
-        in_shardings=(None, None, NamedSharding(mesh, bspec)),
-        donate_argnums=(0, 1),
-    )

@@ -106,10 +106,28 @@ class ServingApp:
         self._stepper.start()
 
     def _step_loop(self):
+        from .engine import StepEvent
+
         while True:
             self._wake.wait()
             with self._mu:
-                events = self.engine.step()
+                try:
+                    events = self.engine.step()
+                except Exception as exc:  # noqa: BLE001 — must not die:
+                    # a dead stepper would wedge every stream on q.get().
+                    import logging
+
+                    logging.getLogger(__name__).exception(
+                        "engine.step failed: %s", exc)
+                    for rid, q in list(self._queues.items()):
+                        q.put(StepEvent(slot=-1, request_id=rid, token=-1,
+                                        finished=True, finish_reason="error",
+                                        new_token=False))
+                    self._queues.clear()
+                    for s in self.engine.slots:
+                        s.active = False
+                    self._wake.clear()
+                    continue
                 for ev in events:
                     q = self._queues.get(ev.request_id)
                     if q is not None:
