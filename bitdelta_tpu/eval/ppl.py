@@ -60,7 +60,7 @@ def _window_nll(cfg: ModelConfig, model, params, deltas, window: jax.Array,
 def eval_ppl(cfg: ModelConfig, params, token_ids: np.ndarray, *,
              context_size: int = 1024, window_size: int = 512,
              deltas=None, compute_dtype=None,
-             batch_windows: int = 1, model=None) -> float:
+             batch_windows: int = 1, model=None, mesh=None) -> float:
     """Perplexity of a 1-D token array under the model.
 
     ``deltas=None`` evaluates dense params (use
@@ -68,10 +68,18 @@ def eval_ppl(cfg: ModelConfig, params, token_ids: np.ndarray, *,
     reference's dense-fusion eval, eval_ppl.py:49-51); passing deltas
     evaluates through the compressed kernel path instead — a capability
     the reference lacks. ``model``: decoder module (default llama;
-    pass models.mixtral for MoE checkpoints).
+    pass models.mixtral for MoE checkpoints). ``mesh``: shard each
+    window's SEQUENCE axis over the data axis (long-context eval across
+    the mesh; GSPMD inserts the attention collectives) — params/deltas
+    should already be placed via parallel.sharding.
     """
     model = model if model is not None else llama
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import DATA_AXIS
+
+        win_sharding = NamedSharding(mesh, P(None, DATA_AXIS))
     token_ids = np.asarray(token_ids).reshape(-1)
     starts, max_length, stride = window_starts(
         len(token_ids), context_size, window_size)
@@ -95,8 +103,10 @@ def eval_ppl(cfg: ModelConfig, params, token_ids: np.ndarray, *,
                                              compute_dtype))
     nlls = []
     for i in range(0, len(windows), batch_windows):
-        nlls.append(np.asarray(fn(params, deltas,
-                                  jnp.asarray(windows[i:i + batch_windows]))))
+        w = jnp.asarray(windows[i:i + batch_windows])
+        if mesh is not None:
+            w = jax.device_put(w, win_sharding)
+        nlls.append(np.asarray(fn(params, deltas, w)))
     nlls = np.concatenate(nlls)
     mean_nll = float((nlls * weights).sum() / weights.sum())
     return float(np.exp(mean_nll))
