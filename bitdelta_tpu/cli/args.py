@@ -46,6 +46,10 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax profiler trace of the distillation "
                         "loop into this dir (view with xprof/TensorBoard)")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="save distillation state (scales + optimizer) to "
+                        "save_dir/distill_ckpt.npz every N steps and "
+                        "auto-resume from it (0 = off)")
 
 
 def add_ppl_args(p: argparse.ArgumentParser):

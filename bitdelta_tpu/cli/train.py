@@ -118,10 +118,14 @@ def main(argv=None):
         from ..utils.profiling import trace
 
         profile_ctx = trace(args.profile_dir)
+    ckpt = (os.path.join(args.save_dir, "distill_ckpt.npz")
+            if args.checkpoint_every else None)
     with profile_ctx:
         comp, losses = distill_scales(cfg, base, fine, comp, batches, dcfg,
                                       mesh=mesh, progress=True,
-                                      model=model_mod)
+                                      model=model_mod,
+                                      checkpoint_path=ckpt,
+                                      checkpoint_every=args.checkpoint_every)
     print(f"distill loss {losses[0]:.6f} -> {losses[-1]:.6f}")
     if args.debug:
         with open(os.path.join(args.save_dir, "train_loss.json"), "w") as f:

@@ -98,9 +98,11 @@ class ServingApp:
         self.engine = engine
         self.tenants = tenants
         self._mu = threading.Lock()          # engine admission + queue map
+        self._slot_free = threading.Condition(self._mu)
         self._queues: Dict[str, "queue.Queue"] = {}   # request_id -> q
         self._wake = threading.Event()
         self._reqid = itertools.count()
+        self.admission_timeout = 300.0       # seconds to wait for a slot
         self._stepper = threading.Thread(target=self._step_loop,
                                          daemon=True, name="engine-stepper")
         self._stepper.start()
@@ -128,12 +130,16 @@ class ServingApp:
                         s.active = False
                     self._wake.clear()
                     continue
+                finished_any = False
                 for ev in events:
+                    finished_any |= ev.finished
                     q = self._queues.get(ev.request_id)
                     if q is not None:
                         q.put(ev)
                         if ev.finished:
                             self._queues.pop(ev.request_id, None)
+                if finished_any:
+                    self._slot_free.notify_all()
                 if not any(s.active for s in self.engine.slots):
                     self._wake.clear()
 
@@ -191,11 +197,26 @@ class ServingApp:
         texts = [""] * len(reqs)
         gens: List[List[int]] = [[] for _ in reqs]
         first_lines: List[str] = []
+        import time as _time
+
+        deadline = _time.monotonic() + self.admission_timeout
         with self._mu:
             try:
                 for i, r in enumerate(reqs):
                     r.request_id = f"req{next(self._reqid)}"
-                    slot = eng.submit(r)
+                    while True:
+                        try:
+                            slot = eng.submit(r)
+                            break
+                        except RuntimeError:
+                            # Engine full: wait for the stepper to free a
+                            # slot (releases the lock while waiting).
+                            remaining = deadline - _time.monotonic()
+                            if remaining <= 0 or not self._slot_free.wait(
+                                    timeout=remaining):
+                                raise RuntimeError(
+                                    "engine full (timed out waiting for "
+                                    "a free slot)")
                     self._queues[r.request_id] = q
                     rid_to_i[r.request_id] = i
                     # First generated token comes from the prefill logits.

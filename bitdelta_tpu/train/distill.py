@@ -101,10 +101,29 @@ def make_distill_step(cfg: ModelConfig, dcfg: DistillConfig,
     return step
 
 
+def save_distill_checkpoint(path: str, step: int, scales, opt_state):
+    """Mid-run training state (scales + AdamW moments + step) as npz —
+    crash recovery the reference lacks (its only artifact is the
+    pre-training diff_untrained.pt, train.py:58)."""
+    leaves = jax.tree.leaves((scales, opt_state))
+    np.savez(path, __step=np.int64(step),
+             **{f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_distill_checkpoint(path: str, scales_like, opt_state_like):
+    z = np.load(path)
+    structure = jax.tree.structure((scales_like, opt_state_like))
+    leaves = [jnp.asarray(z[f"leaf{i}"])
+              for i in range(structure.num_leaves)]
+    scales, opt_state = jax.tree.unflatten(structure, leaves)
+    return int(z["__step"]), scales, opt_state
+
+
 def distill_scales(cfg: ModelConfig, base_params, finetuned_params,
                    compressed: CompressedModel, batches,
                    dcfg: DistillConfig = DistillConfig(),
                    mesh=None, progress: bool = False, model=None,
+                   checkpoint_path: str = None, checkpoint_every: int = 0,
                    ) -> Tuple[CompressedModel, List[float]]:
     """Run scale distillation; returns (calibrated model, loss history).
 
@@ -113,7 +132,14 @@ def distill_scales(cfg: ModelConfig, base_params, finetuned_params,
     supplied (extra batches cycle the cosine floor, matching torch's
     CosineAnnealingLR behavior past T_max only approximately — supply
     exactly num_steps batches for reference semantics).
+
+    ``checkpoint_path`` + ``checkpoint_every``: periodically save
+    (scales, optimizer state, step); when the file already exists, resume
+    from it (same batches => identical trajectory as an uninterrupted
+    run, since the optimizer state carries the schedule step).
     """
+    import os
+
     schedule = optax.cosine_decay_schedule(dcfg.lr, dcfg.num_steps)
     optimizer = optax.adamw(schedule, weight_decay=dcfg.weight_decay)
     # Copy: the jitted step donates its scales argument, and the first
@@ -121,14 +147,28 @@ def distill_scales(cfg: ModelConfig, base_params, finetuned_params,
     scales = jax.tree.map(jnp.array, get_scales(compressed))
     opt_state = optimizer.init(scales)
 
+    start = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        start, scales, opt_state = load_distill_checkpoint(
+            checkpoint_path, scales, opt_state)
+        if progress:
+            print(f"[distill] resuming from {checkpoint_path} at step "
+                  f"{start}", flush=True)
+
     step = make_distill_step(cfg, dcfg, base_params, finetuned_params,
                              compressed, optimizer, mesh=mesh, model=model)
 
     losses: List[float] = []
     for i, batch in enumerate(batches):
+        if i < start:
+            continue
         scales, opt_state, loss = step(scales, opt_state,
                                        jnp.asarray(batch, jnp.int32))
         losses.append(float(loss))
         if progress and (i % 10 == 0 or i + 1 == len(batches)):
             print(f"[distill] step {i}: loss {losses[-1]:.6f}", flush=True)
+        if (checkpoint_path and checkpoint_every
+                and (i + 1) % checkpoint_every == 0):
+            save_distill_checkpoint(checkpoint_path, i + 1, scales,
+                                    opt_state)
     return with_scales(compressed, scales), losses

@@ -164,3 +164,29 @@ def test_distillation_trains_embed_and_head_scales():
     # The embed/head scales are trainable leaves and must have moved.
     assert float(calib.deltas["embed"].scale) != s0_embed
     assert float(calib.deltas["lm_head"].scale) != s0_head
+
+
+def test_distill_checkpoint_resume_matches_uninterrupted(tmp_path):
+    """Kill-and-resume must land on the identical trajectory: run 6
+    steps straight vs 3 steps (checkpointed) + resume for the rest."""
+    cfg, base, fine = _pair(17)
+    comp = compress_model(base, fine)
+    batches = np.stack(synthetic_batches(cfg.vocab_size, 6, 2, 16, seed=17))
+    dcfg = DistillConfig(lr=1e-3, num_steps=6, compute_dtype="float32")
+
+    ref, losses_ref = distill_scales(cfg, base, fine, comp, batches, dcfg)
+
+    ckpt = str(tmp_path / "ck.npz")
+    # First "run" dies after 3 steps (simulated by only feeding 3).
+    distill_scales(cfg, base, fine, comp, batches[:3], dcfg,
+                   checkpoint_path=ckpt, checkpoint_every=3)
+    # Resume with the full batch list: steps 0-2 are skipped.
+    got, losses_got = distill_scales(cfg, base, fine, comp, batches, dcfg,
+                                     checkpoint_path=ckpt,
+                                     checkpoint_every=3)
+    assert len(losses_got) == 3
+    np.testing.assert_allclose(losses_got, losses_ref[3:], rtol=1e-6)
+    for name in ref.deltas:
+        np.testing.assert_allclose(np.asarray(got.deltas[name].scale),
+                                   np.asarray(ref.deltas[name].scale),
+                                   rtol=1e-6)

@@ -145,3 +145,29 @@ def test_streams_interleave_not_serialize(served_app):
     assert rest, "long stream should still have tokens after the short one"
     assert rest[-1]["done"]
     assert len(rest) + 1 >= 40
+
+
+def test_admission_queues_when_engine_full():
+    """With one slot, a second request waits for the slot instead of
+    erroring; both streams complete."""
+    from tests.test_serving import _make_world
+
+    cfg, base, tenants, stack = _make_world(num_tenants=2, vocab=258 + 30)
+    eng = Engine(cfg, stack, max_slots=1, max_seq=64, prefill_buckets=(32,),
+                 kernel="xla")
+    tok = ByteTokenizer()
+    app = ServingApp(eng, [TenantInfo("alpha", tok, stop_token_ids=()),
+                           TenantInfo("beta", tok, stop_token_ids=())])
+
+    gen_a = app.generate_stream({"prompt": "abc", "tenant": "alpha",
+                                 "max_new_tokens": 6})
+    first_a = json.loads(next(gen_a))
+    assert not first_a["done"]
+    # B's admission blocks until A's request finishes (the stepper keeps
+    # decoding A regardless of whether gen_a is being consumed).
+    lines_b = [json.loads(l) for l in app.generate_stream(
+        {"prompt": "xy", "tenant": "beta", "max_new_tokens": 3})]
+    assert lines_b[-1]["done"] and len(lines_b) == 3
+    rest_a = [json.loads(l) for l in gen_a]
+    assert rest_a[-1]["done"]
+    assert len(rest_a) + 1 == 6
