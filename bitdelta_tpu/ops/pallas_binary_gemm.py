@@ -419,6 +419,175 @@ def tenant_delta_matmul_pair_pallas(x: jax.Array, packed_pairs: jax.Array,
     return y.astype(out_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Fused base + pair-packed delta decode kernel
+# ---------------------------------------------------------------------------
+#
+# The decode hot path used to run the shared base matmul (XLA, HBM-bound:
+# ~157 us per 117 MB weight at the 0.72 TB/s roofline) and the pair-packed
+# delta kernel (VPU-bound: ~297 us at T=8 on the mlp shape) SERIALLY.
+# This kernel computes both in one pallas_call so the base weight DMA
+# streams while the VPU chews bit-planes: per (n, k) tile the inner
+# tenant loop provides ~B VPU steps of compute to hide one (bk, 256)
+# base block fetch. Ideal win on the mlp shape: 454 us -> ~300 us (1.5x).
+#
+# Layout trick that makes this free: the pair layout is group-major
+# (ops/packing.py::repack_pairs) — pair-word column ni*128 + r covers
+# natural output columns ni*256 + r (low half) and ni*256 + 128 + r
+# (high half). With one 128-lane pair group per grid step, the matching
+# base block is the NATURAL contiguous slice W[ki*bk:(ki+1)*bk,
+# ni*256:(ni+1)*256]: no re-layout or second copy of the base weights,
+# and the lo/hi outputs are 128-aligned lane slices of the base dot.
+
+def _fused_base_pair_kernel(ids_ref, xq_ref, xb_ref, w_ref, p_ref, a1_ref,
+                            a2_ref, sxq_ref, c2_ref, olo_ref, ohi_ref,
+                            alo_ref, ahi_ref, *, nk: int, nb: int):
+    ki, b = pl.program_id(1), pl.program_id(2)
+
+    @pl.when((ki == 0) & (b == 0))
+    def _():
+        alo_ref[:] = jnp.zeros_like(alo_ref)
+        ahi_ref[:] = jnp.zeros_like(ahi_ref)
+
+    # Shared base GEMM for all rows, once per (n, k) tile (the b loop is
+    # innermost, so the w/xb blocks are fetched once and elided across b).
+    # MXU work overlapping the VPU bit-plane loop below.
+    @pl.when(b == 0)
+    def _():
+        yb = jnp.dot(xb_ref[:], w_ref[:],
+                     preferred_element_type=jnp.float32)   # (B, 256)
+        alo_ref[:] += yb[:, :128]
+        ahi_ref[:] += yb[:, 128:]
+
+    # Pair-packed 1-bit delta for row b (same body as
+    # _tenant_delta_pair_kernel; see its header for the carry/dequant
+    # invariants).
+    p = p_ref[0]                      # (Wp, 128) int32 pair words
+    xq = xq_ref[0]                    # (Wp, 16) int32 in [0, 4095]
+    inner = jnp.zeros(p.shape, jnp.int32)
+    for s in range(16):
+        pairbits = (p >> s) & 0x00010001
+        inner += pairbits * xq[:, s][:, None]
+    lo = inner & 0xFFFF
+    hi = jax.lax.shift_right_logical(inner, 16)
+    s_lo = jnp.sum(lo, axis=0, keepdims=True).astype(jnp.float32)
+    s_hi = jnp.sum(hi, axis=0, keepdims=True).astype(jnp.float32)
+
+    a1 = a1_ref[b]
+    rowmask = jax.lax.broadcasted_iota(jnp.int32, alo_ref.shape, 0) == b
+    alo_ref[:] += jnp.where(rowmask, (2.0 * a1) * s_lo, 0.0)
+    ahi_ref[:] += jnp.where(rowmask, (2.0 * a1) * s_hi, 0.0)
+
+    @pl.when(ki == nk - 1)
+    def _():
+        c2 = c2_ref[0]                                   # (2, 128)
+        off = a1 * sxq_ref[b]
+        alo_ref[:] += jnp.where(rowmask, a2_ref[b] * c2[0:1] - off, 0.0)
+        ahi_ref[:] += jnp.where(rowmask, a2_ref[b] * c2[1:2] - off, 0.0)
+
+    @pl.when((ki == nk - 1) & (b == nb - 1))
+    def _():
+        olo_ref[:] = alo_ref[:].astype(olo_ref.dtype)
+        ohi_ref[:] = ahi_ref[:].astype(ohi_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+def fused_base_pair_matmul_pallas(x: jax.Array, w_base: jax.Array,
+                                  packed_pairs: jax.Array,
+                                  colsum: jax.Array, scales: jax.Array,
+                                  tenant_ids: jax.Array, *,
+                                  interpret: bool = False, out_dtype=None):
+    """``Y[b] = X[b] @ W + scales[ids[b]] * (X[b] @ sign(P[ids[b]]))`` —
+    decode shape, pair-packed delta layout, base matmul fused in-kernel
+    (the reference runs base GEMM and binary_bmm as separate launches,
+    demo_backend.py:93-98; here the base weight streaming hides under
+    the VPU bit-plane compute).
+
+    Args: x ``(B, K)``; w_base ``(K, N)`` natural layout (shared with
+    the prefill path — no second copy); packed_pairs ``(T, K//16,
+    N//2)``; colsum ``(T, N)``; scales ``(T,)``; tenant_ids ``(B,)``.
+    Returns ``(B, N)``.
+    """
+    bsz, kdim = x.shape
+    kw, n = w_base.shape
+    t, k16, nhalf = packed_pairs.shape
+    assert kw == kdim and k16 * 16 == kdim and nhalf * 2 == n, (
+        x.shape, w_base.shape, packed_pairs.shape)
+    assert n % PAIR_BN == 0 and colsum.shape == (t, n)
+    out_dtype = out_dtype or x.dtype
+
+    bk = _pick_block(kdim, (4096, 2048, 1024, 512, 256, 128, 64, 32))
+    nk = kdim // bk
+    grid = (nhalf // 128, nk, bsz)
+
+    xf = x.astype(jnp.float32)
+    xmin = jnp.min(xf, axis=1)
+    xmax = jnp.max(xf, axis=1)
+    step = jnp.maximum((xmax - xmin) / PAIR_Q_LEVELS, 1e-30)
+    xq = jnp.round((xf - xmin[:, None]) / step[:, None]).astype(jnp.int32)
+    sxq = jnp.sum(xq, axis=1).astype(jnp.float32)
+    alpha = jnp.asarray(scales, jnp.float32)[tenant_ids]
+    a1 = alpha * step
+    a2 = alpha * xmin
+    xq_r = xq.reshape(bsz, k16, 16)
+    xb = x.astype(w_base.dtype)
+
+    nblk = n // PAIR_BN
+    c2p = (colsum.reshape(t, nblk, 2, PAIR_BN // 2)
+           .transpose(0, 2, 1, 3).reshape(t, 2, nhalf))
+
+    kernel = functools.partial(_fused_base_pair_kernel, nk=nk, nb=bsz)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bk // 16, 16),
+                         lambda ni, ki, bi, ids: (bi, ki, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, bk), lambda ni, ki, bi, ids: (0, ki),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, PAIR_BN), lambda ni, ki, bi, ids: (ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk // 16, 128),
+                         lambda ni, ki, bi, ids: (ids[bi], ki, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, 128),
+                         lambda ni, ki, bi, ids: (ids[bi], 0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bsz, 128), lambda ni, ki, bi, ids: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bsz, 128), lambda ni, ki, bi, ids: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((bsz, 128), jnp.float32),
+                        pltpu.VMEM((bsz, 128), jnp.float32)],
+    )
+    y_lo, y_hi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((bsz, nhalf), jnp.float32),
+                   jax.ShapeDtypeStruct((bsz, nhalf), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * n * kdim * 2,
+            bytes_accessed=(kdim * n * 2              # base, once
+                            + bsz * k16 * nhalf * 4   # one pair mask per row
+                            + bsz * kdim * 2 + bsz * n * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(tenant_ids, jnp.int32), xq_r, xb, w_base, packed_pairs,
+      a1, a2, sxq, c2p)
+    y = jnp.stack([y_lo.reshape(bsz, nblk, PAIR_BN // 2),
+                   y_hi.reshape(bsz, nblk, PAIR_BN // 2)],
+                  axis=2).reshape(bsz, n)
+    return y.astype(out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
 def fused_tenant_matmul_pallas(x: jax.Array, w_base: jax.Array,
                                packed_stack: jax.Array, scales: jax.Array,
