@@ -157,10 +157,16 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
                 and x.shape[-2] == 1):
             from ..ops.pallas_binary_gemm import tenant_delta_matmul_pair_pallas
 
+            # K-sharded (row-parallel TP) pair deltas carry a per-shard
+            # colsum with a unit shard axis (stacking.to_pair_layout):
+            # the full-K popcount correction is wrong for a K slice.
+            colsum = delta.colsum
+            if colsum.ndim == delta.packed_pairs.ndim:
+                colsum = colsum[..., 0, :]
             y = _base_matmul(x[:, 0], w, compute_dtype)
             yd = tenant_delta_matmul_pair_pallas(
                 x[:, 0].astype(compute_dtype), delta.packed_pairs,
-                delta.colsum, delta.scale, tenant_ids,
+                colsum, delta.scale, tenant_ids,
                 out_dtype=jnp.float32)
             return (y + yd).astype(compute_dtype)[:, None, :]
         from ..ops.packing import unpair_packed
@@ -264,31 +270,49 @@ def _split_deltas(deltas: Optional[Deltas]):
 
 def _embed_lookup(params: Params, tokens: jax.Array,
                   tenant_ids: Optional[jax.Array],
-                  embed_delta=None) -> jax.Array:
+                  embed_delta=None, tp_axis: Optional[str] = None) -> jax.Array:
     """Token embedding; ``embed`` may be tenant-stacked ``(T, V, D)``
     (each fine-tune keeps its own embeddings — the reference's
     DataParallelModule case, demo/demo_backend.py:62-79), or shared
     ``(V, D)`` with a 1-bit per-tenant delta (``embed_delta``; packed
-    along D, so a token's sign row is one packed-word column)."""
+    along D, so a token's sign row is one packed-word column).
+
+    ``tp_axis``: set when running per-shard under ``shard_map`` with the
+    vocab axis sharded over the model mesh axis — each shard looks up
+    only its local vocab rows and the results are psum'd (exactly one
+    shard contributes per token)."""
     e = params["embed"]
-    if e.ndim == 3 and tenant_ids is not None:
-        base = e[tenant_ids[:, None], tokens]
+    if tp_axis is not None:
+        vloc = e.shape[-2]
+        rel = tokens - jax.lax.axis_index(tp_axis) * vloc
+        valid = (rel >= 0) & (rel < vloc)
+        lookup = jnp.clip(rel, 0, vloc - 1)
     else:
-        base = e[tokens]
+        valid, lookup = None, tokens
+    if e.ndim == 3 and tenant_ids is not None:
+        base = e[tenant_ids[:, None], lookup]
+    else:
+        base = e[lookup]
     if embed_delta is None:
+        if tp_axis is not None:
+            base = jax.lax.psum(jnp.where(valid[..., None], base, 0),
+                                tp_axis)
         return base
     packed, scale = embed_delta.packed, embed_delta.scale
     if packed.ndim == 3 and tenant_ids is not None:
         # (T, D//32, V): rows (b, s) read tenant b's column tokens[b, s].
-        words = packed[tenant_ids[:, None], :, tokens]      # (B, S, D//32)
+        words = packed[tenant_ids[:, None], :, lookup]      # (B, S, D//32)
         alpha = scale[tenant_ids][:, None, None]
     else:
-        words = jnp.moveaxis(jnp.take(packed, tokens, axis=-1), -3, -1)
+        words = jnp.moveaxis(jnp.take(packed, lookup, axis=-1), -3, -1)
         alpha = scale
     shifts = jnp.arange(32, dtype=jnp.int32)
     bits = (words[..., None] >> shifts) & 1                 # (B, S, D//32, 32)
     pm1 = (2 * bits - 1).reshape(*tokens.shape, -1).astype(jnp.float32)
-    return (base.astype(jnp.float32) + alpha * pm1).astype(base.dtype)
+    out = base.astype(jnp.float32) + alpha * pm1
+    if tp_axis is not None:
+        out = jax.lax.psum(jnp.where(valid[..., None], out, 0.0), tp_axis)
+    return out.astype(e.dtype)
 
 
 def _head_delta_logits(x: jax.Array, head_delta,
@@ -379,22 +403,35 @@ def _final_norm_w(params: Params, tenant_ids: Optional[jax.Array]):
 # Decoder layer + full forward
 # ---------------------------------------------------------------------------
 
+ROW_PARALLEL_PROJS = ("o_proj", "down_proj")
+
+
 def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
                layer_deltas: Optional[Deltas], tenant_ids,
                q_positions, kv_valid, cos, sin,
                cache_k=None, cache_v=None, write_pos=None,
                kernel: str = "xla", lengths=None,
-               flash_interpret: bool = False):
+               flash_interpret: bool = False,
+               tp_axis: Optional[str] = None):
     """One decoder block. If cache_k/v given (decode), new K/V are written
     at ``write_pos`` per row and attention runs over the whole cache.
-    Returns (x_out, new_cache_k, new_cache_v)."""
+    Returns (x_out, new_cache_k, new_cache_v).
+
+    ``tp_axis``: Megatron-TP per-shard mode (inside ``shard_map``): cfg
+    carries LOCAL head counts, column-parallel projections produce local
+    N slices, and the row-parallel projections (o_proj / down_proj,
+    whose K inputs are head-/channel-local) psum their partial outputs
+    over the mesh axis so the residual stream stays replicated."""
     p = layer_params
     d = layer_deltas or {}
     b, sq, _ = x.shape
 
     def proj(name, inp):
-        return _proj(inp, p[name], d.get(name), tenant_ids, compute_dtype,
-                     kernel)
+        y = _proj(inp, p[name], d.get(name), tenant_ids, compute_dtype,
+                  kernel)
+        if tp_axis is not None and name in ROW_PARALLEL_PROJS:
+            y = jax.lax.psum(y, tp_axis)
+        return y
 
     def norm_w(w):
         # (D,) shared, or tenant-stacked (T, D) selected per batch row.
@@ -552,12 +589,20 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 cache: KVCache, *,
                 deltas: Optional[Deltas] = None,
                 tenant_ids: Optional[jax.Array] = None,
-                compute_dtype=None, kernel: str = "xla"):
+                compute_dtype=None, kernel: str = "xla",
+                tp_axis: Optional[str] = None):
     """Single-token decode: tokens ``(B, 1)`` appended at each row's
     current length. Returns ``(logits (B, 1, V), new_cache)``.
 
     kernel="pallas": route the tenant-routed projections through the
-    fused Pallas kernel (TPU serving hot path)."""
+    fused Pallas kernel (TPU serving hot path).
+
+    ``tp_axis``: run as the per-shard body of a ``shard_map`` over a
+    mesh whose ``tp_axis`` carries Megatron TP — cfg must hold LOCAL
+    head counts, params/deltas/cache arrive as local shards, and the
+    logits return V-sharded (the caller's out_specs reassemble). This is
+    what lets the single-device Pallas decode kernels serve TP-sharded
+    (70B-class) models."""
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
     b, sq = tokens.shape
     positions = cache.length[:, None] + jnp.arange(sq)[None, :]
@@ -568,8 +613,8 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
                            cfg.rope_scaling)
 
     deltas, embed_delta, head_delta = _split_deltas(deltas)
-    x = _embed_lookup(params, tokens, tenant_ids,
-                      embed_delta).astype(compute_dtype)
+    x = _embed_lookup(params, tokens, tenant_ids, embed_delta,
+                      tp_axis=tp_axis).astype(compute_dtype)
 
     layer_xs = (params["layers"], cache.k, cache.v)
     if deltas is not None:
@@ -584,7 +629,8 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
         x, ck, cv = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
                                positions, kv_valid, cos, sin,
                                cache_k=ck, cache_v=cv,
-                               write_pos=cache.length, kernel=kernel)
+                               write_pos=cache.length, kernel=kernel,
+                               tp_axis=tp_axis)
         return x, (ck, cv)
 
     x, (ks, vs) = jax.lax.scan(body, x, layer_xs)

@@ -285,7 +285,66 @@ def tenant_delta_matmul_pallas(x: jax.Array, packed_stack: jax.Array,
 # Measured 1.43x over the one-column i32 formulation (BENCHNOTES.md).
 
 PAIR_Q_LEVELS = 4095   # 12-bit grid: 16 * 4095 = 65520 < 2^16 (no carry)
-PAIR_BN = 256          # output columns per grid step = 2 x 128 lanes
+PAIR_BN = 256          # output columns per 128-lane pair group
+
+
+def _pair_plane_sums(p, xq):
+    """VPU bit-plane loop over a pair-packed tile.
+
+    p: ``(Wp, BNH)`` int32 pair words (16 sign bits per half, two output
+    columns per word); xq: ``(Wp, 16)`` int32 activations in
+    ``[0, PAIR_Q_LEVELS]``. Returns fp32 ``(1, BNH)`` half-sums
+    ``S = sum_k bit_k * xq_k`` for the low / high output columns.
+    Exactness: each 16-bit half accumulates at most 16 * 4095 < 2^16, so
+    int32 wraparound is modular and the halves split exactly.
+    """
+    inner = jnp.zeros(p.shape, jnp.int32)
+    for s in range(16):
+        pairbits = (p >> s) & 0x00010001
+        inner += pairbits * xq[:, s][:, None]
+    lo = inner & 0xFFFF
+    hi = jax.lax.shift_right_logical(inner, 16)
+    s_lo = jnp.sum(lo, axis=0, keepdims=True).astype(jnp.float32)
+    s_hi = jnp.sum(hi, axis=0, keepdims=True).astype(jnp.float32)
+    return s_lo, s_hi
+
+
+def _pair_quantize(x, scales, tenant_ids):
+    """Host-side (XLA) prep shared by the pair kernels: quantize rows to
+    the non-negative PAIR_Q_LEVELS affine grid and fold the tenant scale
+    into the two dequantization coefficients.
+
+    Returns ``(xq (B, K//16, 16) int32, sxq (B,) f32, a1 (B,) f32,
+    a2 (B,) f32)`` with ``a1 = alpha * step``, ``a2 = alpha * xmin``.
+    """
+    bsz, kdim = x.shape
+    xf = x.astype(jnp.float32)
+    xmin = jnp.min(xf, axis=1)
+    xmax = jnp.max(xf, axis=1)
+    step = jnp.maximum((xmax - xmin) / PAIR_Q_LEVELS, 1e-30)
+    xq = jnp.round((xf - xmin[:, None]) / step[:, None]).astype(jnp.int32)
+    sxq = jnp.sum(xq, axis=1).astype(jnp.float32)
+    alpha = jnp.asarray(scales, jnp.float32)[tenant_ids]
+    return xq.reshape(bsz, kdim // 16, 16), sxq, alpha * step, alpha * xmin
+
+
+def _colsum_to_pair_order(colsum, t, n):
+    """Reorder ``(T, N)`` per-column popcount corrections into the pair
+    layout's group-major order: ``c2p[t, h, g*128 + r] =
+    colsum[t, g*256 + 128*h + r]`` so each kernel block reads a
+    contiguous ``(2, BNH)`` lo/hi slice."""
+    nblk = n // PAIR_BN
+    return (colsum.reshape(t, nblk, 2, PAIR_BN // 2)
+            .transpose(0, 2, 1, 3).reshape(t, 2, n // 2))
+
+
+def _pair_reassemble(y_lo, y_hi, bsz, n):
+    """Interleave the kernels' lo/hi outputs back into natural column
+    order (group g's low half then high half)."""
+    nblk = n // PAIR_BN
+    return jnp.stack([y_lo.reshape(bsz, nblk, PAIR_BN // 2),
+                      y_hi.reshape(bsz, nblk, PAIR_BN // 2)],
+                     axis=2).reshape(bsz, n)
 
 
 def _tenant_delta_pair_kernel(ids_ref, xq_ref, p_ref, a1_ref, a2_ref,
@@ -298,18 +357,7 @@ def _tenant_delta_pair_kernel(ids_ref, xq_ref, p_ref, a1_ref, a2_ref,
         alo_ref[:] = jnp.zeros_like(alo_ref)
         ahi_ref[:] = jnp.zeros_like(ahi_ref)
 
-    p = p_ref[0]                      # (Wp, 128) int32 pair words
-    xq = xq_ref[0]                    # (Wp, 16) int32 in [0, 4095]
-    inner = jnp.zeros(p.shape, jnp.int32)
-    for s in range(16):
-        pairbits = (p >> s) & 0x00010001
-        inner += pairbits * xq[:, s][:, None]
-    # Recover the two 16-bit half-sums (exact: each half accumulates at
-    # most 16 * 2047 < 2^16; int32 wraparound is modular).
-    lo = inner & 0xFFFF
-    hi = jax.lax.shift_right_logical(inner, 16)
-    s_lo = jnp.sum(lo, axis=0, keepdims=True).astype(jnp.float32)  # (1,128)
-    s_hi = jnp.sum(hi, axis=0, keepdims=True).astype(jnp.float32)
+    s_lo, s_hi = _pair_plane_sums(p_ref[0], xq_ref[0])
 
     a1 = a1_ref[b]
     rowmask = jax.lax.broadcasted_iota(jnp.int32, alo_ref.shape, 0) == b
@@ -355,22 +403,8 @@ def tenant_delta_matmul_pair_pallas(x: jax.Array, packed_pairs: jax.Array,
     bnh = _pick_block(nhalf, (1024, 512, 256, 128))
     grid = (nhalf // bnh, nk, bsz)
 
-    xf = x.astype(jnp.float32)
-    xmin = jnp.min(xf, axis=1)
-    xmax = jnp.max(xf, axis=1)
-    step = jnp.maximum((xmax - xmin) / PAIR_Q_LEVELS, 1e-30)
-    xq = jnp.round((xf - xmin[:, None]) / step[:, None]).astype(jnp.int32)
-    sxq = jnp.sum(xq, axis=1).astype(jnp.float32)
-    alpha = jnp.asarray(scales, jnp.float32)[tenant_ids]
-    a1 = alpha * step
-    a2 = alpha * xmin
-    xq_r = xq.reshape(bsz, k16, 16)
-
-    # colsum in pair order: c2p[t, h, ni*128 + r] = colsum[t, ni*256 +
-    # 128*h + r] — each kernel block reads its (2, 128) lo/hi slice.
-    nblk = n // PAIR_BN
-    c2p = (colsum.reshape(t, nblk, 2, PAIR_BN // 2)
-           .transpose(0, 2, 1, 3).reshape(t, 2, nhalf))
+    xq_r, sxq, a1, a2 = _pair_quantize(x, scales, tenant_ids)
+    c2p = _colsum_to_pair_order(colsum, t, n)
 
     kernel = functools.partial(_tenant_delta_pair_kernel, nk=nk, nb=bsz)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -412,11 +446,7 @@ def tenant_delta_matmul_pair_pallas(x: jax.Array, packed_pairs: jax.Array,
         interpret=interpret,
     )(jnp.asarray(tenant_ids, jnp.int32), xq_r, packed_pairs,
       a1, a2, sxq, c2p)
-    # Reassemble natural column order: block ni's lo half then hi half.
-    y = jnp.stack([y_lo.reshape(bsz, nblk, PAIR_BN // 2),
-                   y_hi.reshape(bsz, nblk, PAIR_BN // 2)],
-                  axis=2).reshape(bsz, n)
-    return y.astype(out_dtype)
+    return _pair_reassemble(y_lo, y_hi, bsz, n).astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -432,17 +462,21 @@ def tenant_delta_matmul_pair_pallas(x: jax.Array, packed_pairs: jax.Array,
 # base block fetch. Ideal win on the mlp shape: 454 us -> ~300 us (1.5x).
 #
 # Layout trick that makes this free: the pair layout is group-major
-# (ops/packing.py::repack_pairs) — pair-word column ni*128 + r covers
-# natural output columns ni*256 + r (low half) and ni*256 + 128 + r
-# (high half). With one 128-lane pair group per grid step, the matching
-# base block is the NATURAL contiguous slice W[ki*bk:(ki+1)*bk,
-# ni*256:(ni+1)*256]: no re-layout or second copy of the base weights,
-# and the lo/hi outputs are 128-aligned lane slices of the base dot.
+# (ops/packing.py::repack_pairs) — pair-word column g*128 + r covers
+# natural output columns g*256 + r (low half) and g*256 + 128 + r
+# (high half). A lane block of BNH = G*128 pair lanes therefore matches
+# the NATURAL contiguous base slice W[ki*bk:(ki+1)*bk, ni*2*BNH:
+# (ni+1)*2*BNH]: no re-layout or second copy of the base weights, and
+# each group's lo/hi outputs are 128-aligned lane slices of the base
+# dot. BNH is parameterized like the standalone pair kernel (narrow
+# blocks re-fetch the xq/SMEM operands every step — measured 0.61x at
+# 256-lane blocks for the standalone kernel, BENCHNOTES.md).
 
 def _fused_base_pair_kernel(ids_ref, xq_ref, xb_ref, w_ref, p_ref, a1_ref,
                             a2_ref, sxq_ref, c2_ref, olo_ref, ohi_ref,
                             alo_ref, ahi_ref, *, nk: int, nb: int):
     ki, b = pl.program_id(1), pl.program_id(2)
+    bnh = alo_ref.shape[1]
 
     @pl.when((ki == 0) & (b == 0))
     def _():
@@ -455,23 +489,18 @@ def _fused_base_pair_kernel(ids_ref, xq_ref, xb_ref, w_ref, p_ref, a1_ref,
     @pl.when(b == 0)
     def _():
         yb = jnp.dot(xb_ref[:], w_ref[:],
-                     preferred_element_type=jnp.float32)   # (B, 256)
-        alo_ref[:] += yb[:, :128]
-        ahi_ref[:] += yb[:, 128:]
+                     preferred_element_type=jnp.float32)   # (B, 2*BNH)
+        # De-interleave natural columns into the pair-group lo/hi halves:
+        # group g's natural columns [256g, 256g+128) are its lo lanes,
+        # [256g+128, 256g+256) its hi lanes. Static 128-aligned slices.
+        for g in range(bnh // 128):
+            alo_ref[:, g * 128:(g + 1) * 128] += yb[:, g * 256:g * 256 + 128]
+            ahi_ref[:, g * 128:(g + 1) * 128] += yb[:, g * 256 + 128:
+                                                    (g + 1) * 256]
 
-    # Pair-packed 1-bit delta for row b (same body as
-    # _tenant_delta_pair_kernel; see its header for the carry/dequant
-    # invariants).
-    p = p_ref[0]                      # (Wp, 128) int32 pair words
-    xq = xq_ref[0]                    # (Wp, 16) int32 in [0, 4095]
-    inner = jnp.zeros(p.shape, jnp.int32)
-    for s in range(16):
-        pairbits = (p >> s) & 0x00010001
-        inner += pairbits * xq[:, s][:, None]
-    lo = inner & 0xFFFF
-    hi = jax.lax.shift_right_logical(inner, 16)
-    s_lo = jnp.sum(lo, axis=0, keepdims=True).astype(jnp.float32)
-    s_hi = jnp.sum(hi, axis=0, keepdims=True).astype(jnp.float32)
+    # Pair-packed 1-bit delta for row b (shared body; see
+    # _pair_plane_sums for the carry/dequant invariants).
+    s_lo, s_hi = _pair_plane_sums(p_ref[0], xq_ref[0])
 
     a1 = a1_ref[b]
     rowmask = jax.lax.broadcasted_iota(jnp.int32, alo_ref.shape, 0) == b
@@ -480,7 +509,7 @@ def _fused_base_pair_kernel(ids_ref, xq_ref, xb_ref, w_ref, p_ref, a1_ref,
 
     @pl.when(ki == nk - 1)
     def _():
-        c2 = c2_ref[0]                                   # (2, 128)
+        c2 = c2_ref[0]                                   # (2, BNH)
         off = a1 * sxq_ref[b]
         alo_ref[:] += jnp.where(rowmask, a2_ref[b] * c2[0:1] - off, 0.0)
         ahi_ref[:] += jnp.where(rowmask, a2_ref[b] * c2[1:2] - off, 0.0)
@@ -491,12 +520,14 @@ def _fused_base_pair_kernel(ids_ref, xq_ref, xb_ref, w_ref, p_ref, a1_ref,
         ohi_ref[:] = ahi_ref[:].astype(ohi_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "out_dtype", "lane_block"))
 def fused_base_pair_matmul_pallas(x: jax.Array, w_base: jax.Array,
                                   packed_pairs: jax.Array,
                                   colsum: jax.Array, scales: jax.Array,
                                   tenant_ids: jax.Array, *,
-                                  interpret: bool = False, out_dtype=None):
+                                  interpret: bool = False, out_dtype=None,
+                                  lane_block: int = 0):
     """``Y[b] = X[b] @ W + scales[ids[b]] * (X[b] @ sign(P[ids[b]]))`` —
     decode shape, pair-packed delta layout, base matmul fused in-kernel
     (the reference runs base GEMM and binary_bmm as separate launches,
@@ -505,7 +536,8 @@ def fused_base_pair_matmul_pallas(x: jax.Array, w_base: jax.Array,
 
     Args: x ``(B, K)``; w_base ``(K, N)`` natural layout (shared with
     the prefill path — no second copy); packed_pairs ``(T, K//16,
-    N//2)``; colsum ``(T, N)``; scales ``(T,)``; tenant_ids ``(B,)``.
+    N//2)``; colsum ``(T, N)``; scales ``(T,)``; tenant_ids ``(B,)``;
+    lane_block: pair lanes per grid step (0 = widest dividing block).
     Returns ``(B, N)``.
     """
     bsz, kdim = x.shape
@@ -516,25 +548,21 @@ def fused_base_pair_matmul_pallas(x: jax.Array, w_base: jax.Array,
     assert n % PAIR_BN == 0 and colsum.shape == (t, n)
     out_dtype = out_dtype or x.dtype
 
-    bk = _pick_block(kdim, (4096, 2048, 1024, 512, 256, 128, 64, 32))
+    bnh = (lane_block if lane_block
+           else _pick_block(nhalf, (256, 128)))
+    assert nhalf % bnh == 0 and bnh % 128 == 0, (nhalf, bnh)
+    # VMEM budget: the (bk, 2*bnh) bf16 base block is double-buffered by
+    # Mosaic against the ~16 MB scoped-vmem limit — cap it at 4 MB
+    # (bk * bnh <= 1M elements) and shrink bk to fit.
+    bk = _pick_block(kdim, tuple(
+        c for c in (4096, 2048, 1024, 512, 256, 128, 64, 32)
+        if c * bnh <= 1 << 20 or c == 32))
     nk = kdim // bk
-    grid = (nhalf // 128, nk, bsz)
+    grid = (nhalf // bnh, nk, bsz)
 
-    xf = x.astype(jnp.float32)
-    xmin = jnp.min(xf, axis=1)
-    xmax = jnp.max(xf, axis=1)
-    step = jnp.maximum((xmax - xmin) / PAIR_Q_LEVELS, 1e-30)
-    xq = jnp.round((xf - xmin[:, None]) / step[:, None]).astype(jnp.int32)
-    sxq = jnp.sum(xq, axis=1).astype(jnp.float32)
-    alpha = jnp.asarray(scales, jnp.float32)[tenant_ids]
-    a1 = alpha * step
-    a2 = alpha * xmin
-    xq_r = xq.reshape(bsz, k16, 16)
+    xq_r, sxq, a1, a2 = _pair_quantize(x, scales, tenant_ids)
     xb = x.astype(w_base.dtype)
-
-    nblk = n // PAIR_BN
-    c2p = (colsum.reshape(t, nblk, 2, PAIR_BN // 2)
-           .transpose(0, 2, 1, 3).reshape(t, 2, nhalf))
+    c2p = _colsum_to_pair_order(colsum, t, n)
 
     kernel = functools.partial(_fused_base_pair_kernel, nk=nk, nb=bsz)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -546,26 +574,26 @@ def fused_base_pair_matmul_pallas(x: jax.Array, w_base: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bsz, bk), lambda ni, ki, bi, ids: (0, ki),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk, PAIR_BN), lambda ni, ki, bi, ids: (ki, ni),
+            pl.BlockSpec((bk, 2 * bnh), lambda ni, ki, bi, ids: (ki, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk // 16, 128),
+            pl.BlockSpec((1, bk // 16, bnh),
                          lambda ni, ki, bi, ids: (ids[bi], ki, ni),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 2, 128),
+            pl.BlockSpec((1, 2, bnh),
                          lambda ni, ki, bi, ids: (ids[bi], 0, ni),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bsz, 128), lambda ni, ki, bi, ids: (0, ni),
+            pl.BlockSpec((bsz, bnh), lambda ni, ki, bi, ids: (0, ni),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, 128), lambda ni, ki, bi, ids: (0, ni),
+            pl.BlockSpec((bsz, bnh), lambda ni, ki, bi, ids: (0, ni),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((bsz, 128), jnp.float32),
-                        pltpu.VMEM((bsz, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bsz, bnh), jnp.float32),
+                        pltpu.VMEM((bsz, bnh), jnp.float32)],
     )
     y_lo, y_hi = pl.pallas_call(
         kernel,
@@ -582,10 +610,7 @@ def fused_base_pair_matmul_pallas(x: jax.Array, w_base: jax.Array,
         interpret=interpret,
     )(jnp.asarray(tenant_ids, jnp.int32), xq_r, xb, w_base, packed_pairs,
       a1, a2, sxq, c2p)
-    y = jnp.stack([y_lo.reshape(bsz, nblk, PAIR_BN // 2),
-                   y_hi.reshape(bsz, nblk, PAIR_BN // 2)],
-                  axis=2).reshape(bsz, n)
-    return y.astype(out_dtype)
+    return _pair_reassemble(y_lo, y_hi, bsz, n).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))

@@ -110,6 +110,55 @@ def extras_specs(cfg: ModelConfig, keys=None) -> Dict[str, Any]:
     return specs
 
 
+def serving_delta_specs(deltas) -> Dict[str, Any]:
+    """Specs for a serving deltas dict (tenant-stacked) whose leaves may
+    be canonical ``BinaryDelta`` or pair-layout ``PairedBinaryDelta``
+    (the shard_map'd Pallas TP decode path; stacking.to_pair_layout).
+
+    Pair words shard exactly like their canonical counterparts — a
+    contiguous K shard (multiple of 32 rows) is a contiguous slice of
+    pair rows, and a contiguous N shard (multiple of 256 cols) is a
+    contiguous slice of group-major pair columns — so no repack ever
+    happens at shard boundaries. Row-parallel paired colsums carry a
+    per-K-shard axis ``(L, T, tp, N)`` sharded on the model axis.
+    """
+    from ..core.delta import BinaryDelta, PairedBinaryDelta
+
+    out = {}
+    for name, d in deltas.items():
+        paired = hasattr(d, "packed_pairs")
+        if name == "embed":
+            # (T, D//32, V): packed along hidden, vocab-sharded.
+            out[name] = BinaryDelta(packed=P(None, None, MODEL_AXIS),
+                                    scale=P())
+        elif name == "lm_head":
+            out[name] = (PairedBinaryDelta(
+                packed_pairs=P(None, None, MODEL_AXIS),
+                colsum=P(None, MODEL_AXIS), scale=P()) if paired
+                else BinaryDelta(packed=P(None, None, MODEL_AXIS),
+                                 scale=P()))
+        elif name in COLUMN_PARALLEL:
+            out[name] = (PairedBinaryDelta(
+                packed_pairs=P(None, None, None, MODEL_AXIS),
+                colsum=P(None, None, MODEL_AXIS), scale=P()) if paired
+                else BinaryDelta(packed=P(None, None, None, MODEL_AXIS),
+                                 scale=P()))
+        elif name in ROW_PARALLEL:
+            if paired:
+                # colsum is per-K-shard when it has the extra axis.
+                cspec = (P(None, None, MODEL_AXIS, None)
+                         if d.colsum.ndim == 4 else P())
+                out[name] = PairedBinaryDelta(
+                    packed_pairs=P(None, None, MODEL_AXIS, None),
+                    colsum=cspec, scale=P())
+            else:
+                out[name] = BinaryDelta(
+                    packed=P(None, None, MODEL_AXIS, None), scale=P())
+        else:
+            raise ValueError(f"no sharding rule for delta {name!r}")
+    return out
+
+
 def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
     """Specs for a TenantStack's serving params (serving/stacking.py):
     projections shard like :func:`param_specs`; tenant-stacked norms
@@ -144,12 +193,13 @@ def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
 
 
 def shard_stack(cfg: ModelConfig, stack, mesh: Mesh):
-    """Shard a serving TenantStack (canonical delta layout) for TP/DP
-    multi-tenant serving. Packed tenant deltas shard exactly like their
-    base matrices; vocab_sizes replicate."""
+    """Shard a serving TenantStack (canonical or pair delta layout) for
+    TP/DP multi-tenant serving. Packed tenant deltas shard exactly like
+    their base matrices; vocab_sizes replicate."""
     params = shard_tree(stack.params,
                         serving_param_specs(cfg, stack.params), mesh)
-    deltas = shard_deltas(cfg, stack.deltas, mesh, tenant_stacked=True)
+    deltas = shard_tree(stack.deltas, serving_delta_specs(stack.deltas),
+                        mesh)
     vocab_sizes = jax.device_put(stack.vocab_sizes,
                                  NamedSharding(mesh, P()))
     return stack._replace(params=params, deltas=deltas,

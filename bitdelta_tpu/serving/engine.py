@@ -78,18 +78,31 @@ class Engine:
                  max_slots: int = 8, max_seq: int = 1024,
                  prefill_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
                  kernel: str = "auto", compute_dtype=None, seed: int = 0,
-                 mesh=None, model=None):
+                 mesh=None, model=None, decode_chunk: int = 1):
         """``mesh``: a ``(data, model)`` jax.sharding.Mesh — the stack
         (base weights, packed tenant deltas, per-tenant extras) and the
         KV cache are GSPMD-sharded over it (Megatron TP per
-        parallel/sharding.py; the 70B-serving configuration). The Pallas
-        kernels are single-device programs, so a multi-device mesh uses
-        the XLA kernel path (kernel="auto" resolves accordingly).
+        parallel/sharding.py; the 70B-serving configuration). With
+        kernel="pallas" the decode step runs as a shard_map over the
+        mesh: every model-axis shard executes the single-device Pallas
+        delta/attention kernels on its local slice (pair words shard
+        contiguously; row-parallel colsums are per-shard) with psum at
+        the Megatron reduction points; prefill stays on the GSPMD XLA
+        path (large-M shapes are MXU-bound where XLA is at roofline).
 
         ``model``: the decoder module to serve — anything exposing
         ``forward`` / ``decode_step`` with the llama signatures (default
         :mod:`..models.llama`; pass :mod:`..models.mixtral` for
-        multi-tenant MoE serving)."""
+        multi-tenant MoE serving).
+
+        ``decode_chunk``: decode steps chained inside ONE jitted call
+        per host sync. Each host readback through this environment's
+        device relay costs 30-140 ms — at chunk=1 that dominates decode
+        entirely. Stop/length detection happens host-side after the
+        chunk (a slot that stops mid-chunk wastes at most chunk-1 lane
+        steps; the batch decodes in lockstep anyway, so those lanes were
+        not schedulable for anyone else). Admission granularity becomes
+        ``decode_chunk`` tokens."""
         self.cfg = cfg
         self.stack = stack
         self.max_slots = max_slots
@@ -102,11 +115,7 @@ class Engine:
         multi_device = mesh is not None and mesh.size > 1
         if kernel == "auto":
             kernel = ("pallas" if jax.default_backend() == "tpu"
-                      and not multi_device and is_llama else "xla")
-        if kernel == "pallas" and multi_device:
-            raise ValueError(
-                "kernel='pallas' requires a single-device engine; use "
-                "kernel='xla' (or 'auto') with a multi-device mesh")
+                      and is_llama else "xla")
         if kernel == "pallas" and not is_llama:
             raise ValueError("kernel='pallas' is only wired for the llama "
                              "family; use kernel='xla' (or 'auto')")
@@ -115,12 +124,18 @@ class Engine:
                 "mesh sharding specs cover the llama family only "
                 "(Mixtral expert-matrix TP is future work); drop mesh=")
         self.kernel = kernel
+        self.tp = 1
+        if mesh is not None:
+            from ..parallel.mesh import MODEL_AXIS
+
+            self.tp = mesh.shape[MODEL_AXIS]
         if kernel == "pallas":
             # Decode hot path: pair-packed delta layout (same bytes as
-            # canonical; prefill un-pairs on the fly).
+            # canonical; prefill un-pairs on the fly). Under TP the pair
+            # conversion is shard-aware (per-K-shard colsums).
             from .stacking import to_pair_layout
 
-            self.stack = stack = to_pair_layout(stack)
+            self.stack = stack = to_pair_layout(stack, tp=self.tp)
         self.compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
 
         self.slots = [SlotState() for _ in range(max_slots)]
@@ -137,8 +152,20 @@ class Engine:
             if cfg.num_kv_heads % tp:
                 raise ValueError(f"num_kv_heads {cfg.num_kv_heads} must "
                                  f"be a multiple of the model axis ({tp})")
+            if kernel == "pallas" and tp > 1:
+                if cfg.num_heads % tp:
+                    raise ValueError(
+                        f"num_heads {cfg.num_heads} must be a multiple "
+                        f"of the model axis ({tp}) for the shard_map "
+                        f"Pallas decode path")
+                vmax = int(stack.params["embed"].shape[-2])
+                if vmax % tp:
+                    raise ValueError(
+                        f"padded vocab {vmax} must be a multiple of the "
+                        f"model axis ({tp}); re-pad the tenant stack")
             self.stack = stack = psh.shard_stack(cfg, stack, mesh)
             self.cache = psh.shard_cache(self.cache, mesh)
+        self.decode_chunk = max(1, int(decode_chunk))
         self.tenant_ids = np.zeros((max_slots,), np.int32)
         self.temps = np.zeros((max_slots,), np.float32)
         self.top_ks = np.zeros((max_slots,), np.int32)
@@ -147,6 +174,7 @@ class Engine:
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._prefill_fns: Dict[int, callable] = {}
+        self._chunk_fns: Dict[int, callable] = {}
         from ..utils.profiling import StepTimer
 
         self.timer = StepTimer()  # decode step-time / tok/s (see /stats)
@@ -156,6 +184,44 @@ class Engine:
     # Jitted device functions
     # ------------------------------------------------------------------
 
+    def _make_tp_decode(self):
+        """shard_map'd decode step: each model-axis shard runs the
+        single-device Pallas kernels on its local weight/delta/cache
+        slice; psum at the Megatron reduction points happens inside
+        llama.decode_step (tp_axis=). This is what makes Pallas decode
+        compose with the TP mesh — without it, 70B-class serving fell
+        back to the ~12x-slower XLA tenant-delta path."""
+        import dataclasses
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel import sharding as psh
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        cfg, dtype, tp, model = self.cfg, self.compute_dtype, self.tp, \
+            self.model
+        cfg_local = dataclasses.replace(
+            cfg, num_heads=cfg.num_heads // tp,
+            num_kv_heads=cfg.num_kv_heads // tp)
+        param_specs = psh.serving_param_specs(cfg, self.stack.params)
+        delta_specs = psh.serving_delta_specs(self.stack.deltas)
+        cache_specs = llama.KVCache(k=psh.cache_spec(), v=psh.cache_spec(),
+                                    length=P(DATA_AXIS))
+
+        def per_shard(params, deltas, cache, tokens, tenant_ids):
+            return model.decode_step(
+                cfg_local, params, tokens, cache, deltas=deltas,
+                tenant_ids=tenant_ids, compute_dtype=dtype,
+                kernel="pallas", tp_axis=MODEL_AXIS)
+
+        return shard_map(
+            per_shard, mesh=self.mesh,
+            in_specs=(param_specs, delta_specs, cache_specs,
+                      P(DATA_AXIS, None), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS, None, MODEL_AXIS), cache_specs),
+            check_rep=False)
+
     def _build_jits(self):
         cfg, dtype, kernel = self.cfg, self.compute_dtype, self.kernel
         max_seq = self.max_seq
@@ -164,23 +230,11 @@ class Engine:
 
         model = self.model
 
-        def decode_fn(params, deltas, cache, tokens, tenant_ids, temps,
-                      top_ks, top_ps, active, vocab_sizes, rng):
-            old_len = cache.length
-            logits, cache = model.decode_step(
-                cfg, params, tokens, cache, deltas=deltas,
-                tenant_ids=tenant_ids, compute_dtype=dtype, kernel=kernel)
-            logits = logits[:, 0].astype(jnp.float32)  # (B, V)
-            vmask = (jnp.arange(logits.shape[-1])[None, :]
-                     < vocab_sizes[tenant_ids][:, None])
-            logits = jnp.where(vmask, logits, NEG_INF)
-            nxt = sample_tokens(rng, logits, temps, top_ks, top_ps)
-            # Inactive slots don't advance (their cache row is parked).
-            cache = cache._replace(
-                length=jnp.where(active, cache.length, old_len))
-            return nxt, cache
-
-        self._decode = jax.jit(decode_fn, donate_argnums=(2,))
+        step_impl = None
+        if (kernel == "pallas" and self.mesh is not None
+                and self.mesh.size > 1):
+            step_impl = self._make_tp_decode()
+        self._step_impl = step_impl
 
         def insert_fn(cache, row_k, row_v, row_len, slot):
             return llama.KVCache(
@@ -190,12 +244,64 @@ class Engine:
 
         self._insert = jax.jit(insert_fn, donate_argnums=(0,))
 
+    def _chunk_jit(self, k: int):
+        """Jitted chain of ``k`` decode+sample steps with one host sync:
+        tokens feed back step-to-step on device, all ``k`` sampled
+        tokens come back in one readback. The relay round-trip
+        (30-140 ms) amortizes over k instead of dominating every token
+        (the reference does one ``model(...)`` + host argmax per token,
+        demo_backend.py:202-251)."""
+        if k in self._chunk_fns:
+            return self._chunk_fns[k]
+        cfg, dtype, kernel = self.cfg, self.compute_dtype, self.kernel
+        model, step_impl = self.model, self._step_impl
+
+        from .sampling import sample_tokens
+
+        def chunk_fn(params, deltas, cache, tokens, tenant_ids, temps,
+                     top_ks, top_ps, active, vocab_sizes, rng):
+            def body(carry, i):
+                tokens, cache = carry
+                old_len = cache.length
+                if step_impl is not None:
+                    logits, cache = step_impl(params, deltas, cache,
+                                              tokens, tenant_ids)
+                else:
+                    logits, cache = model.decode_step(
+                        cfg, params, tokens, cache, deltas=deltas,
+                        tenant_ids=tenant_ids, compute_dtype=dtype,
+                        kernel=kernel)
+                logits = logits[:, 0].astype(jnp.float32)  # (B, V)
+                vmask = (jnp.arange(logits.shape[-1])[None, :]
+                         < vocab_sizes[tenant_ids][:, None])
+                logits = jnp.where(vmask, logits, NEG_INF)
+                nxt = sample_tokens(jax.random.fold_in(rng, i), logits,
+                                    temps, top_ks, top_ps)
+                # Inactive slots don't advance (their cache row is parked).
+                cache = cache._replace(
+                    length=jnp.where(active, cache.length, old_len))
+                return (nxt[:, None], cache), nxt
+
+            (_, cache), toks = jax.lax.scan(
+                body, (tokens, cache), jnp.arange(k))
+            return toks, cache  # toks: (k, B)
+
+        fn = jax.jit(chunk_fn, donate_argnums=(2,))
+        self._chunk_fns[k] = fn
+        return fn
+
     def _prefill_jit(self, bucket: int):
         if bucket in self._prefill_fns:
             return self._prefill_fns[bucket]
         cfg, dtype, max_seq = self.cfg, self.compute_dtype, self.max_seq
 
         kernel = self.kernel
+        if self.mesh is not None and self.mesh.size > 1:
+            # Multi-device prefill stays on the GSPMD XLA path: large-M
+            # prefill shapes are MXU-bound where XLA is already at
+            # roofline (BENCHNOTES.md), and only the decode kernels are
+            # shard_map'd. Pair-layout deltas un-pair on the fly.
+            kernel = "xla"
         model = self.model
 
         def prefill_fn(params, deltas, tokens, length, tenant_id,
@@ -303,9 +409,28 @@ class Engine:
             return "length"
         return None
 
+    def _chunk_size(self, active: np.ndarray) -> int:
+        """Largest safe chain length this call: every active row must
+        have cache room for k more tokens (cache row length is
+        prompt_len + generated - 1). Bucketed to powers of two so the
+        set of compiled chunk programs stays bounded."""
+        k = self.decode_chunk
+        if k <= 1:
+            return 1
+        room = min(
+            self.max_seq - (self.slots[int(i)].prompt_len
+                            + len(self.slots[int(i)].generated) - 1)
+            for i in np.nonzero(active)[0])
+        k = min(k, max(1, room))
+        while k & (k - 1):  # round down to a power of two
+            k &= k - 1
+        return k
+
     def step(self) -> List[StepEvent]:
-        """One decode step for all active slots. Returns per-slot events
-        (token emitted this step + completion info)."""
+        """One decode call for all active slots: chains
+        ``decode_chunk`` device steps per host sync. Returns per-slot
+        events in generation order (a slot may emit several tokens per
+        call; completion info rides the last one)."""
         with self._lock:
             active = np.asarray([s.active for s in self.slots], bool)
             if not active.any():
@@ -327,27 +452,33 @@ class Engine:
                 return events
 
             self._rng, sub = jax.random.split(self._rng)
+            k = self._chunk_size(active)
+            fn = self._chunk_jit(k)
             tokens = jnp.asarray(self._last_tokens[:, None])
-            with self.timer.step(tokens=int(active.sum())):
-                nxt, self.cache = self._decode(
+            with self.timer.step(tokens=0) as tick:
+                toks, self.cache = fn(
                     self.stack.params, self.stack.deltas, self.cache,
                     tokens, jnp.asarray(self.tenant_ids),
                     jnp.asarray(self.temps), jnp.asarray(self.top_ks),
                     jnp.asarray(self.top_ps), jnp.asarray(active),
                     self.stack.vocab_sizes, sub)
-                nxt = np.asarray(nxt)  # host sync inside the timed region
-            for i in np.nonzero(active)[0]:
-                i = int(i)
-                st = self.slots[i]
-                st.generated.append(int(nxt[i]))
-                self._last_tokens[i] = int(nxt[i])
-                reason = self._finish_checks(i)
-                events.append(StepEvent(
-                    slot=i, request_id=st.request.request_id,
-                    token=int(nxt[i]), finished=reason is not None,
-                    finish_reason=reason))
-                if reason is not None:
-                    st.active = False
+                toks = np.asarray(toks)  # (k, B) — ONE host sync
+                for i in np.nonzero(active)[0]:
+                    i = int(i)
+                    st = self.slots[i]
+                    for j in range(toks.shape[0]):
+                        tok = int(toks[j, i])
+                        st.generated.append(tok)
+                        self._last_tokens[i] = tok
+                        tick.tokens += 1
+                        reason = self._finish_checks(i)
+                        events.append(StepEvent(
+                            slot=i, request_id=st.request.request_id,
+                            token=tok, finished=reason is not None,
+                            finish_reason=reason))
+                        if reason is not None:
+                            st.active = False
+                            break  # tokens past the stop are discarded
             return events
 
     def generate(self, requests: Sequence[Request]) -> List[List[int]]:

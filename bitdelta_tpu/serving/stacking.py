@@ -126,23 +126,55 @@ def stack_tenants(cfg: ModelConfig, base_params: Params,
                        num_tenants=t)
 
 
-def to_pair_layout(stack: TenantStack) -> TenantStack:
+def to_pair_layout(stack: TenantStack, tp: int = 1) -> TenantStack:
     """Convert delta stacks to the pair-packed serving layout consumed by
     the pair VPU decode kernel (ops/pallas_binary_gemm.py; 1.46x the
     one-column kernel on v5e/v6e). Projections whose N isn't a multiple
     of 256 stay canonical (the model dispatch handles a mixed dict).
-    Same memory as canonical — serving holds only one layout."""
-    from ..core.delta import pair_delta
-    from ..ops.packing import PAIR_BLOCK
+    Same memory as canonical — serving holds only one layout.
+
+    ``tp``: model-axis shard count for TP serving (the shard_map'd
+    Pallas decode path). Pair words of a contiguous K/N shard equal the
+    shard of the full pair layout (group-major columns, 16-row word
+    halves), so the packed bits never repack under TP; but the
+    popcount-based affine correction must be per K-shard for
+    row-parallel projections — their colsum gains a shard axis
+    ``(L, T, tp, N)``. Eligibility is evaluated on LOCAL sizes: a
+    projection whose local N slice isn't a multiple of 256 (e.g.
+    k_proj at high tp) stays canonical."""
+    from ..core.delta import PairedBinaryDelta, pair_delta
+    from ..ops.packing import PAIR_BLOCK, column_popcount, repack_pairs
+    from ..parallel.sharding import COLUMN_PARALLEL, ROW_PARALLEL
 
     deltas = {}
     for name, d in stack.deltas.items():
         # "embed" is consumed by gather (one packed column per token),
         # not by the matmul kernels — it stays canonical.
-        if name != "embed" and d.packed.shape[-1] % PAIR_BLOCK == 0:
-            deltas[name] = pair_delta(d)
-        else:
+        if name == "embed":
             deltas[name] = d
+            continue
+        k32, n = d.packed.shape[-2], d.packed.shape[-1]
+        if name in ROW_PARALLEL and tp > 1:
+            if n % PAIR_BLOCK or k32 % tp:
+                deltas[name] = d
+                continue
+            lead = d.packed.shape[:-2]
+            k_local = (k32 // tp) * 32
+            per_shard = d.packed.reshape(*lead, tp, k32 // tp, n)
+            colsum = (2.0 * column_popcount(per_shard)
+                      - k_local).astype(jnp.float32)      # (*, tp, N)
+            deltas[name] = PairedBinaryDelta(
+                packed_pairs=repack_pairs(d.packed), colsum=colsum,
+                scale=jnp.asarray(d.scale, jnp.float32))
+        else:
+            # Column-parallel (incl. lm_head): the N shard must itself
+            # be pair-eligible.
+            n_local = n // tp if name in COLUMN_PARALLEL + ("lm_head",) \
+                else n
+            if n_local % PAIR_BLOCK == 0:
+                deltas[name] = pair_delta(d)
+            else:
+                deltas[name] = d
     return stack._replace(deltas=deltas)
 
 

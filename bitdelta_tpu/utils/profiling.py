@@ -38,13 +38,23 @@ class StepTimer:
         self.times: list = []
         self.tokens: list = []
 
+    class _Tick:
+        """Mutable token count for regions whose true token yield is
+        only known after the device call (e.g. chunked decode where a
+        stop truncates mid-chunk)."""
+        __slots__ = ("tokens",)
+
+        def __init__(self, tokens: int):
+            self.tokens = tokens
+
     @contextlib.contextmanager
     def step(self, tokens: int = 0):
+        tick = StepTimer._Tick(tokens)
         t0 = time.perf_counter()
-        yield
+        yield tick
         dt = time.perf_counter() - t0
         self.times.append(dt)
-        self.tokens.append(tokens)
+        self.tokens.append(tick.tokens)
         if len(self.times) > self.window:
             self.times.pop(0)
             self.tokens.pop(0)

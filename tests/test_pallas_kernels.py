@@ -269,6 +269,61 @@ def test_model_pallas_dispatch_paired_deltas():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("bsz,t,k,n", [(1, 2, 64, 256), (3, 3, 6144, 256),
+                                       (8, 4, 128, 512), (4, 2, 256, 1024)])
+def test_fused_base_pair_kernel_matches_serial(bsz, t, k, n):
+    # Fused base+delta kernel vs the serial composition (XLA base matmul
+    # + standalone pair kernel) — covers nk>1 grids (k=6144 -> bk=2048)
+    # and multi-group lane blocks (n=512/1024 -> bnh=256/512 spans 2/4
+    # pair groups, exercising the in-kernel base de-interleave).
+    from bitdelta_tpu.core.delta import BinaryDelta, pair_delta
+    from bitdelta_tpu.ops.pallas_binary_gemm import (
+        fused_base_pair_matmul_pallas, tenant_delta_matmul_pair_pallas)
+
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((bsz, k)), jnp.float32)
+    w = jnp.asarray(0.05 * rng.standard_normal((k, n)), jnp.float32)
+    signs = rng.integers(0, 2, (t, k, n)).astype(bool)
+    packed = pack_signs(jnp.asarray(signs))
+    scales = jnp.asarray(rng.uniform(0.1, 2.0, (t,)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, t, (bsz,)), jnp.int32)
+    pd = pair_delta(BinaryDelta(packed=packed, scale=scales))
+
+    got = np.asarray(fused_base_pair_matmul_pallas(
+        x, w, pd.packed_pairs, pd.colsum, scales, ids, interpret=INTERP))
+    want = (np.asarray(x) @ np.asarray(w)
+            + np.asarray(tenant_delta_matmul_pair_pallas(
+                x, pd.packed_pairs, pd.colsum, scales, ids,
+                interpret=INTERP)))
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-4 * max(np.abs(want).max(), 1.0))
+
+
+def test_fused_base_pair_lane_block_invariance():
+    # lane_block is a pure performance knob: every width must give the
+    # same numbers (the ADVICE-flagged narrow-block DMA tradeoff is
+    # measured on chip; experiments/fused_base_bench.py).
+    from bitdelta_tpu.core.delta import BinaryDelta, pair_delta
+    from bitdelta_tpu.ops.pallas_binary_gemm import (
+        fused_base_pair_matmul_pallas)
+
+    rng = np.random.default_rng(32)
+    bsz, t, k, n = 3, 2, 128, 1024
+    x = jnp.asarray(rng.standard_normal((bsz, k)), jnp.float32)
+    w = jnp.asarray(0.05 * rng.standard_normal((k, n)), jnp.float32)
+    packed = pack_signs(jnp.asarray(rng.integers(0, 2, (t, k, n)).astype(bool)))
+    scales = jnp.asarray([0.5, 1.5], jnp.float32)
+    ids = jnp.asarray([1, 0, 1], jnp.int32)
+    pd = pair_delta(BinaryDelta(packed=packed, scale=scales))
+    outs = [np.asarray(fused_base_pair_matmul_pallas(
+        x, w, pd.packed_pairs, pd.colsum, scales, ids, interpret=INTERP,
+        lane_block=lb)) for lb in (128, 256, 512)]
+    # f32 base-dot reduction order differs with block width — tiny noise.
+    atol = 1e-5 * max(np.abs(outs[0]).max(), 1.0)
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=atol)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=atol)
+
+
 def test_tenant_dense_matmul_matches_gather():
     from bitdelta_tpu.ops.pallas_binary_gemm import tenant_dense_matmul_pallas
 

@@ -226,3 +226,64 @@ def test_slot_placement_prefers_tenant_adjacency():
     s4 = eng.submit(Request(prompt_ids=[1, 2], tenant_id=1,
                             max_new_tokens=32))
     assert s4 == 4
+
+
+def test_chunked_decode_matches_stepwise():
+    # decode_chunk chains k decode steps per host sync (one relay
+    # round-trip per chunk instead of per token); greedy outputs must be
+    # identical to the chunk=1 engine, including mid-chunk stops and
+    # max_new_tokens that are not multiples of the chunk.
+    cfg, base, tenants, stack = _make_world()
+    prompt = [5, 6, 7]
+    reqs = [Request(prompt_ids=prompt, tenant_id=t, max_new_tokens=n)
+            for t, n in ((0, 7), (1, 4), (2, 9))]
+
+    def run(chunk):
+        eng = Engine(cfg, stack, max_slots=4, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla",
+                     decode_chunk=chunk)
+        return eng.generate([Request(**vars(r)) for r in reqs])
+
+    want = run(1)
+    assert run(4) == want
+    assert run(8) == want
+
+
+def test_chunked_decode_stop_tokens_truncate():
+    cfg, base, tenants, stack = _make_world()
+    prompt = [3, 14, 15, 9]
+    # Find what greedy generates, then use its 2nd token as a stop: the
+    # chunked engine must truncate mid-chunk exactly like stepwise.
+    free = Engine(cfg, stack, max_slots=2, max_seq=64,
+                  prefill_buckets=(16,), kernel="xla").generate(
+        [Request(prompt_ids=prompt, tenant_id=0, max_new_tokens=6)])[0]
+    stop = free[2]
+
+    def run(chunk):
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla",
+                     decode_chunk=chunk)
+        return eng.generate([Request(prompt_ids=prompt, tenant_id=0,
+                                     max_new_tokens=6,
+                                     stop_token_ids=(stop,))])[0]
+
+    want = run(1)
+    assert want == free[:2]
+    assert run(4) == want
+
+
+def test_chunked_decode_near_cache_cap():
+    # A request whose cache room is smaller than the chunk: _chunk_size
+    # must shrink the chain so decode never writes past max_seq.
+    cfg, base, tenants, stack = _make_world()
+    eng = Engine(cfg, stack, max_slots=2, max_seq=16,
+                 prefill_buckets=(8,), kernel="xla", decode_chunk=8)
+    out = eng.generate([Request(prompt_ids=[1, 2, 3, 4, 5, 6],
+                                tenant_id=0, max_new_tokens=50)])[0]
+    ref = Engine(cfg, stack, max_slots=2, max_seq=16,
+                 prefill_buckets=(8,), kernel="xla").generate(
+        [Request(prompt_ids=[1, 2, 3, 4, 5, 6], tenant_id=0,
+                 max_new_tokens=50)])[0]
+    assert out == ref
+    # Capped by the cache (max_seq - 1 slots usable), not max_new_tokens.
+    assert len(out) == 16 - 1 - 6

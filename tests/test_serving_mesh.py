@@ -21,9 +21,13 @@ from bitdelta_tpu.serving.stacking import stack_tenants
 
 def _make_world(num_tenants=2, seed=0, compress_embeddings=False):
     # TP=4-shardable including the packed K axis: row-parallel deltas
-    # shard K//32 int32 words, so K must be a multiple of 32*4.
-    cfg = cfgs.tiny_test_config(vocab_size=128, hidden_size=128,
-                                intermediate_size=256, num_layers=2,
+    # shard K//32 int32 words, so K must be a multiple of 32*4. Sizes
+    # chosen so the pallas shard_map test covers all three delta kinds:
+    # gate/up pair-packed column-parallel (local N = 256), o/down
+    # pair-packed row-parallel (per-shard colsums), q/k/v canonical
+    # (local N = 64 < 256 is pair-ineligible).
+    cfg = cfgs.tiny_test_config(vocab_size=128, hidden_size=256,
+                                intermediate_size=1024, num_layers=2,
                                 num_heads=4, num_kv_heads=4,
                                 dtype="float32")
     base = jl.init_params(cfg, jax.random.PRNGKey(seed), jnp.float32,
@@ -45,9 +49,9 @@ def _make_world(num_tenants=2, seed=0, compress_embeddings=False):
     return cfg, stack_tenants(cfg, base, tenants)
 
 
-def _run(cfg, stack, mesh):
+def _run(cfg, stack, mesh, kernel="xla"):
     eng = Engine(cfg, stack, max_slots=4, max_seq=64,
-                 prefill_buckets=(16,), kernel="xla", mesh=mesh)
+                 prefill_buckets=(16,), kernel=kernel, mesh=mesh)
     reqs = [Request(prompt_ids=[3, 5, 7, 9, 11], tenant_id=0,
                     max_new_tokens=6),
             Request(prompt_ids=[2, 4, 6], tenant_id=1, max_new_tokens=6),
@@ -62,6 +66,23 @@ def test_mesh_engine_matches_single_device(compress_embeddings):
     want = _run(cfg, stack, None)
     mesh = pmesh.make_mesh((2, 4), devices=jax.devices()[:8])
     got = _run(cfg, stack, mesh)
+    assert got == want
+
+
+@pytest.mark.parametrize("compress_embeddings", [False, True])
+def test_mesh_engine_pallas_shardmap_matches_single_device(
+        compress_embeddings):
+    # The shard_map'd Pallas decode (70B-serving hot path): every
+    # model-axis shard runs the VPU delta kernels on its local pair
+    # slice with per-shard colsums. Greedy tokens must match the
+    # single-device XLA engine exactly.
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, stack = _make_world(compress_embeddings=compress_embeddings)
+    want = _run(cfg, stack, None)
+    mesh = pmesh.make_mesh((2, 4), devices=jax.devices()[:8])
+    with pltpu.force_tpu_interpret_mode():
+        got = _run(cfg, stack, mesh, kernel="pallas")
     assert got == want
 
 
@@ -88,7 +109,4 @@ def test_mesh_engine_validation():
     mesh = pmesh.make_mesh((2, 4), devices=jax.devices()[:8])
     with pytest.raises(ValueError, match="max_slots"):
         Engine(cfg, stack, max_slots=3, max_seq=64, kernel="xla",
-               mesh=mesh)
-    with pytest.raises(ValueError, match="pallas"):
-        Engine(cfg, stack, max_slots=4, max_seq=64, kernel="pallas",
                mesh=mesh)
