@@ -45,6 +45,12 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max_slots", type=int, default=8)
     p.add_argument("--max_seq", type=int, default=1024)
+    p.add_argument("--decode_chunk", type=int, default=8,
+                   help="decode steps chained per host sync (amortizes "
+                        "the device round-trip; stops truncate host-side)")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip eager compilation of prefill buckets and "
+                        "decode at boot (first requests will pay compiles)")
     # --kernel comes from add_mesh_args
     p.add_argument("--smoke_test", action="store_true",
                    help="generate a few tokens from every tenant and exit")
@@ -111,7 +117,16 @@ def main(argv=None):
         print("mixtral checkpoint: serving the MoE decoder", flush=True)
     engine = Engine(cfg, stack, max_slots=args.max_slots,
                     max_seq=args.max_seq, kernel=args.kernel,
-                    compute_dtype=dtype, mesh=mesh, model=model_mod)
+                    compute_dtype=dtype, mesh=mesh, model=model_mod,
+                    decode_chunk=args.decode_chunk)
+    if not args.no_warmup:
+        # Reference parity (demo_backend.py:317-328) and a hard
+        # requirement here: a cold prefill bucket costs a remote compile
+        # of minutes — never inside a live request.
+        print("warming prefill buckets "
+              f"{list(engine.prefill_buckets)} + decode ...", flush=True)
+        engine.warmup()
+        print(f"warmed: {engine.warmed}", flush=True)
     app = ServingApp(engine, tenants)
     if args.smoke_test:
         for line in app.generate_stream({"prompt": "Hello",

@@ -450,16 +450,21 @@ def tenant_delta_matmul_pair_pallas(x: jax.Array, packed_pairs: jax.Array,
 
 
 # ---------------------------------------------------------------------------
-# Fused base + pair-packed delta decode kernel
+# Fused base + pair-packed delta decode kernel (MEASURED NEGATIVE — kept
+# as a documented dead end, not dispatched)
 # ---------------------------------------------------------------------------
 #
-# The decode hot path used to run the shared base matmul (XLA, HBM-bound:
-# ~157 us per 117 MB weight at the 0.72 TB/s roofline) and the pair-packed
-# delta kernel (VPU-bound: ~297 us at T=8 on the mlp shape) SERIALLY.
-# This kernel computes both in one pallas_call so the base weight DMA
-# streams while the VPU chews bit-planes: per (n, k) tile the inner
-# tenant loop provides ~B VPU steps of compute to hide one (bk, 256)
-# base block fetch. Ideal win on the mlp shape: 454 us -> ~300 us (1.5x).
+# Hypothesis: the decode hot path runs the shared base matmul (XLA,
+# HBM-bound) and the pair-packed delta kernel (VPU-bound) as separate
+# launches; fusing both in one pallas_call should hide the base weight
+# DMA under the VPU bit-plane compute (projected ~1.5x).
+#
+# Measured (v5e, experiments/fused_base_bench.py, T=B=8): 0.867-0.892x
+# vs the separate-launch composition on mlp/down/qkv shapes. XLA already
+# overlaps the base matmul's HBM streaming with the Pallas kernel across
+# op boundaries (composition measures 360 us on the mlp shape vs a
+# 157+297 us component sum), while this kernel serializes the b==0 MXU
+# dot against the VPU loop within each grid step. See BENCHNOTES.md.
 #
 # Layout trick that makes this free: the pair layout is group-major
 # (ops/packing.py::repack_pairs) — pair-word column g*128 + r covers

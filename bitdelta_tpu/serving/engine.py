@@ -50,11 +50,16 @@ class Request:
     top_p: float = 1.0      # 1.0 = disabled
     stop_token_ids: Sequence[int] = ()
     request_id: Optional[str] = None
+    # Set by the engine at admission (the prefill-logits token). Callers
+    # read it from here rather than from the slot, which may already be
+    # reused by the time a lock-free submit returns.
+    first_token: Optional[int] = None
 
 
 @dataclasses.dataclass
 class SlotState:
     active: bool = False
+    reserved: bool = False   # claimed by an in-flight prefill
     tenant_id: int = 0
     request: Optional[Request] = None
     generated: List[int] = dataclasses.field(default_factory=list)
@@ -175,6 +180,7 @@ class Engine:
         self._lock = threading.Lock()
         self._prefill_fns: Dict[int, callable] = {}
         self._chunk_fns: Dict[int, callable] = {}
+        self.warmed: Dict[str, list] = {"prefill": [], "decode": []}
         from ..utils.profiling import StepTimer
 
         self.timer = StepTimer()  # decode step-time / tok/s (see /stats)
@@ -320,15 +326,64 @@ class Engine:
         return fn
 
     # ------------------------------------------------------------------
+    # Warmup
+    # ------------------------------------------------------------------
+
+    def warmup(self, chunks: Sequence[int] = ()) -> Dict[str, list]:
+        """Eagerly compile every prefill bucket and the decode-chunk
+        programs so no live request pays a compile (reference parity:
+        the demo pre-generates at prompt sizes 32-512 at startup,
+        demo_backend.py:317-328 — essential here, where a cold bucket
+        costs a 1-5 min remote compile inside an HTTP request).
+
+        Runs dummy prefills (results discarded) and one dummy decode per
+        chunk size against the engine cache; safe only while no requests
+        are in flight. Returns {"prefill": buckets, "decode": chunks}.
+        """
+        with self._lock:
+            if any(s.active or s.reserved for s in self.slots):
+                raise RuntimeError("warmup requires an idle engine")
+        for bucket in self.prefill_buckets:
+            fn = self._prefill_jit(bucket)
+            tokens = np.zeros((1, bucket), np.int32)
+            tokens[0, 0] = 1
+            fn(self.stack.params, self.stack.deltas, jnp.asarray(tokens),
+               jnp.asarray([1], jnp.int32), jnp.asarray([0], jnp.int32),
+               self.stack.vocab_sizes)
+        ks = sorted({*chunks} | {1, self.decode_chunk})
+        active = np.zeros((self.max_slots,), bool)  # lengths stay parked
+        for k in ks:
+            fn = self._chunk_jit(k)
+            with self._lock:
+                toks, self.cache = fn(
+                    self.stack.params, self.stack.deltas, self.cache,
+                    jnp.zeros((self.max_slots, 1), jnp.int32),
+                    jnp.asarray(self.tenant_ids),
+                    jnp.asarray(self.temps), jnp.asarray(self.top_ks),
+                    jnp.asarray(self.top_ps), jnp.asarray(active),
+                    self.stack.vocab_sizes, jax.random.PRNGKey(0))
+                jax.block_until_ready(toks)
+        self.warmed = {"prefill": list(self.prefill_buckets),
+                       "decode": ks}
+        return self.warmed
+
+    # ------------------------------------------------------------------
     # Host-side scheduling
     # ------------------------------------------------------------------
 
     def free_slots(self) -> List[int]:
-        return [i for i, s in enumerate(self.slots) if not s.active]
+        return [i for i, s in enumerate(self.slots)
+                if not s.active and not s.reserved]
 
     def submit(self, req: Request) -> int:
         """Admit a request: prefill its prompt into a free slot. Returns
-        the slot index. Raises RuntimeError when full."""
+        the slot index. Raises RuntimeError when full.
+
+        The expensive part — the prefill forward on device — runs
+        OUTSIDE the engine lock: the slot is only reserved under the
+        lock, so concurrent decode steps (and other admissions) proceed
+        while a long prompt prefills. Only the KV-cache insert and slot
+        bookkeeping re-take the lock."""
         if not (0 <= req.tenant_id < self.stack.num_tenants):
             raise ValueError(
                 f"tenant_id {req.tenant_id} out of range "
@@ -343,8 +398,12 @@ class Engine:
             if not free:
                 raise RuntimeError("engine full")
             slot = self._pick_slot(free, req.tenant_id)
+            self.slots[slot].reserved = True
+        try:
             self._admit(slot, req)
-            return slot
+        finally:
+            self.slots[slot].reserved = False
+        return slot
 
     def _pick_slot(self, free: List[int], tenant_id: int) -> int:
         """Prefer a free slot adjacent to an active slot of the same
@@ -360,6 +419,8 @@ class Engine:
         return max(free, key=score)  # ties resolve to the lowest slot
 
     def _admit(self, slot: int, req: Request):
+        # Device-side prefill: pure function of the stack, runs without
+        # the engine lock (decode steps proceed concurrently).
         ids = list(req.prompt_ids)
         bucket = next((b for b in self.prefill_buckets if b >= len(ids)),
                       self.max_seq)
@@ -371,13 +432,12 @@ class Engine:
             jnp.asarray([len(ids)], jnp.int32),
             jnp.asarray([req.tenant_id], jnp.int32),
             self.stack.vocab_sizes)
-        self.cache = self._insert(self.cache, rowcache.k, rowcache.v,
-                                  jnp.int32(len(ids)), slot)
         # First generated token comes from the prefill logits.
         if req.temperature > 0:
             from .sampling import sample_tokens
 
-            self._rng, sub = jax.random.split(self._rng)
+            with self._lock:
+                self._rng, sub = jax.random.split(self._rng)
             first = int(sample_tokens(
                 sub, last_logits[None].astype(jnp.float32),
                 jnp.asarray([req.temperature], jnp.float32),
@@ -385,17 +445,23 @@ class Engine:
                 jnp.asarray([req.top_p], jnp.float32))[0])
         else:
             first = int(jnp.argmax(last_logits))
-        st = self.slots[slot]
-        st.active = True
-        st.tenant_id = req.tenant_id
-        st.request = req
-        st.generated = [first]
-        st.prompt_len = len(ids)
-        self.tenant_ids[slot] = req.tenant_id
-        self.temps[slot] = req.temperature
-        self.top_ks[slot] = req.top_k
-        self.top_ps[slot] = req.top_p
-        self._last_tokens[slot] = first
+        req.first_token = first
+        with self._lock:
+            # The insert donates the live cache buffer — must not race a
+            # decode step (which also consumes/donates it).
+            self.cache = self._insert(self.cache, rowcache.k, rowcache.v,
+                                      jnp.int32(len(ids)), slot)
+            st = self.slots[slot]
+            st.active = True
+            st.tenant_id = req.tenant_id
+            st.request = req
+            st.generated = [first]
+            st.prompt_len = len(ids)
+            self.tenant_ids[slot] = req.tenant_id
+            self.temps[slot] = req.temperature
+            self.top_ks[slot] = req.top_k
+            self.top_ps[slot] = req.top_p
+            self._last_tokens[slot] = first
 
     def _finish_checks(self, slot: int) -> Optional[str]:
         st = self.slots[slot]

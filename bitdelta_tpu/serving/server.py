@@ -112,15 +112,18 @@ class ServingApp:
 
         while True:
             self._wake.wait()
-            with self._mu:
-                try:
-                    events = self.engine.step()
-                except Exception as exc:  # noqa: BLE001 — must not die:
-                    # a dead stepper would wedge every stream on q.get().
-                    import logging
+            # engine.step() runs OUTSIDE the app lock (the engine has its
+            # own) so admissions — which only need the lock for queue
+            # registration — never wait behind a decode chunk.
+            try:
+                events = self.engine.step()
+            except Exception as exc:  # noqa: BLE001 — must not die:
+                # a dead stepper would wedge every stream on q.get().
+                import logging
 
-                    logging.getLogger(__name__).exception(
-                        "engine.step failed: %s", exc)
+                logging.getLogger(__name__).exception(
+                    "engine.step failed: %s", exc)
+                with self._mu:
                     for rid, q in list(self._queues.items()):
                         q.put(StepEvent(slot=-1, request_id=rid, token=-1,
                                         finished=True, finish_reason="error",
@@ -129,7 +132,8 @@ class ServingApp:
                     for s in self.engine.slots:
                         s.active = False
                     self._wake.clear()
-                    continue
+                continue
+            with self._mu:
                 finished_any = False
                 for ev in events:
                     finished_any |= ev.finished
@@ -141,6 +145,8 @@ class ServingApp:
                 if finished_any:
                     self._slot_free.notify_all()
                 if not any(s.active for s in self.engine.slots):
+                    # An in-flight admission re-sets the event after its
+                    # submit completes, so clearing here cannot strand it.
                     self._wake.clear()
 
     def resolve_tenant(self, spec) -> int:
@@ -200,38 +206,45 @@ class ServingApp:
         import time as _time
 
         deadline = _time.monotonic() + self.admission_timeout
-        with self._mu:
-            try:
-                for i, r in enumerate(reqs):
-                    r.request_id = f"req{next(self._reqid)}"
-                    while True:
-                        try:
-                            slot = eng.submit(r)
-                            break
-                        except RuntimeError:
-                            # Engine full: wait for the stepper to free a
-                            # slot (releases the lock while waiting).
+        try:
+            for i, r in enumerate(reqs):
+                r.request_id = f"req{next(self._reqid)}"
+                # Register the event queue BEFORE submitting so the
+                # stepper can never emit tokens for this request into
+                # the void; submit itself runs WITHOUT the app lock —
+                # its device prefill must not stall concurrent streams
+                # (the engine serializes only the cache insert).
+                with self._mu:
+                    self._queues[r.request_id] = q
+                    rid_to_i[r.request_id] = i
+                while True:
+                    try:
+                        eng.submit(r)
+                        break
+                    except RuntimeError:
+                        # Engine full: wait for the stepper to free a
+                        # slot (releases the lock while waiting).
+                        with self._mu:
                             remaining = deadline - _time.monotonic()
                             if remaining <= 0 or not self._slot_free.wait(
                                     timeout=remaining):
                                 raise RuntimeError(
                                     "engine full (timed out waiting for "
                                     "a free slot)")
-                    self._queues[r.request_id] = q
-                    rid_to_i[r.request_id] = i
-                    # First generated token comes from the prefill logits.
-                    first = eng.slots[slot].generated[0]
-                    if first not in metas[i].stop_token_ids:
-                        gens[i].append(first)
-                        texts[i] = metas[i].tokenizer.decode(gens[i])
-                        first_lines.append(json.dumps(
-                            {"tenant": metas[i].name, "token_id": first,
-                             "text": texts[i], "done": False}) + "\n")
-            except Exception:
+                self._wake.set()
+                # First generated token comes from the prefill logits.
+                first = r.first_token
+                if first not in metas[i].stop_token_ids:
+                    gens[i].append(first)
+                    texts[i] = metas[i].tokenizer.decode(gens[i])
+                    first_lines.append(json.dumps(
+                        {"tenant": metas[i].name, "token_id": first,
+                         "text": texts[i], "done": False}) + "\n")
+        except Exception:
+            with self._mu:
                 for rid in rid_to_i:
                     self._queues.pop(rid, None)
-                raise
-            self._wake.set()
+            raise
         try:
             yield from first_lines
             while rid_to_i:
@@ -295,6 +308,8 @@ def make_http_server(app: ServingApp, host: str = "0.0.0.0",
                     "tenants": app.model_names(),
                     "memory_bytes": stack_nbytes(eng.stack),
                     "decode": eng.timer.summary(),
+                    "decode_chunk": eng.decode_chunk,
+                    "warmed": eng.warmed,
                 }).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

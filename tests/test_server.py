@@ -171,3 +171,88 @@ def test_admission_queues_when_engine_full():
     rest_a = [json.loads(l) for l in gen_a]
     assert rest_a[-1]["done"]
     assert len(rest_a) + 1 == 6
+
+
+def test_decode_progresses_during_slow_admission():
+    # VERDICT weak #6: a long-prompt admission must not stall in-flight
+    # decode streams. We make tenant-B's prefill artificially slow and
+    # assert stream A keeps emitting tokens while B's submit is still in
+    # flight (prefill now runs outside both the app and engine locks).
+    import time
+    from tests.test_serving import _make_world
+
+    cfg, base, tenants, stack = _make_world(num_tenants=2, vocab=258 + 30)
+    eng = Engine(cfg, stack, max_slots=4, max_seq=512, prefill_buckets=(32,),
+                 kernel="xla")
+    tok = ByteTokenizer()
+    app = ServingApp(eng, [TenantInfo("alpha", tok, stop_token_ids=()),
+                           TenantInfo("beta", tok, stop_token_ids=())])
+
+    slow_window = {}
+    real_prefill_jit = eng._prefill_jit
+
+    def slow_prefill_jit(bucket):
+        fn = real_prefill_jit(bucket)
+
+        def wrapper(*a, **kw):
+            tid = int(a[4][0])
+            if tid == 1:  # tenant beta: slow admission
+                slow_window["start"] = time.monotonic()
+                time.sleep(2.0)
+                out = fn(*a, **kw)
+                slow_window["end"] = time.monotonic()
+                return out
+            return fn(*a, **kw)
+        return wrapper
+
+    eng._prefill_jit = slow_prefill_jit
+
+    a_events = []  # (time, line) for stream A
+
+    def stream_a():
+        for line in app.generate_stream({"prompt": "hello", "tenant": 0,
+                                         "max_new_tokens": 400}):
+            a_events.append((time.monotonic(), json.loads(line)))
+
+    def stream_b():
+        for _ in app.generate_stream({"prompt": "x" * 20, "tenant": 1,
+                                      "max_new_tokens": 2}):
+            pass
+
+    ta = threading.Thread(target=stream_a)
+    ta.start()
+    # Let A start decoding, then launch the slow admission.
+    while len(a_events) < 3:
+        time.sleep(0.01)
+    tb = threading.Thread(target=stream_b)
+    tb.start()
+    ta.join(timeout=120)
+    tb.join(timeout=120)
+    assert not ta.is_alive() and not tb.is_alive()
+    assert "end" in slow_window, "slow prefill never ran"
+    during = [t for t, _ in a_events
+              if slow_window["start"] + 0.05 < t < slow_window["end"] - 0.05]
+    assert during, (
+        "stream A emitted no tokens during B's admission window — "
+        "admission is blocking decode")
+
+
+def test_engine_warmup_compiles_buckets():
+    from tests.test_serving import _make_world
+    from bitdelta_tpu.serving.engine import Request
+
+    cfg, base, tenants, stack = _make_world(num_tenants=2)
+    eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                 prefill_buckets=(16, 32), kernel="xla", decode_chunk=4)
+    warmed = eng.warmup()
+    assert warmed == {"prefill": [16, 32], "decode": [1, 4]}
+    assert eng.warmed is warmed
+    # Warmup must leave the engine fully usable (clean cache/slots).
+    out = eng.generate([Request(prompt_ids=[3, 14, 15, 9], tenant_id=0,
+                                max_new_tokens=5)])[0]
+    ref = Engine(cfg, stack, max_slots=2, max_seq=64,
+                 prefill_buckets=(16, 32), kernel="xla",
+                 decode_chunk=4).generate(
+        [Request(prompt_ids=[3, 14, 15, 9], tenant_id=0,
+                 max_new_tokens=5)])[0]
+    assert out == ref
