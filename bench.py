@@ -1,31 +1,39 @@
-"""Headline benchmark: multi-tenant 1-bit-delta decode vs naive serving.
+"""Headline benchmark: FULL-model multi-tenant 1-bit decode vs naive.
 
-Measures, on real hardware, the serving decomposition behind the
-reference's headline claims (~2x batched 1-bit delta GEMM vs naive
-per-model forward; docs/index.html:394-404, README.md:17):
+Round-2 upgrade over the r01 model-slice bench: the default shape is the
+real 32-layer Mistral-7B, T=8 tenants, on one 16 GB v5e — the
+deploy-density configuration (int8 base + pair-packed 1-bit deltas +
+1-bit compressed embeddings/lm_head). A bf16 base cannot even hold TWO
+dense tenants on this chip, which is the point of BitDelta serving
+(reference README.md:18 "6x Mistral-7B in <30GB" on GPU).
 
-  ours  = one decode step for T tenants: shared W16 base (XLA, HBM
-          roofline at small M) + per-row 1-bit delta (Pallas VPU
-          bit-plane kernel) + per-tenant embed/norms/head.
-  naive = each tenant decoded through its own dense W16 model
-          (batch 1 per tenant — what you must do without BitDelta),
-          measured as T x a single-model decode step.
+  ours       = one decode step for T tenants: shared W8 base (XLA int8
+               matmul at the HBM roofline) + per-row pair-packed 1-bit
+               delta (Pallas VPU kernel) + 1-bit per-tenant heads.
+  naive_bf16 = each tenant served as its own dense bf16 fine-tune
+               (what the reference's users run today), T x one
+               single-model decode step.
+  naive_w8   = same but int8-quantized fine-tunes (same weight precision
+               as our base — the conservative apples-to-apples row).
 
-Model: Mistral-7B cross-section (hidden 4096, inter 14336, GQA 8),
-reduced to NUM_LAYERS so base + T tenants + the naive dense model fit
-one chip; per-layer traffic matches the full model.
+Primary metric: speedup vs naive_bf16 (the reference claims ~2x for its
+batched kernel, docs/index.html:394-404). Extra JSON keys carry absolute
+tok/s/chip, the W8-vs-W8 speedup, modeled speed-of-light fractions
+(HBM stream + VPU bit-plane rate; BENCHNOTES.md rooflines), and an
+ENGINE-level tok/s measured through Engine.generate() with chunked
+decode (admission + sampling + host syncs included).
 
 Timing: this environment's device tunnel makes ``block_until_ready``
-unreliable and adds 30-100ms jitter per host round-trip, so each
+unreliable and adds 30-100 ms jitter per host round-trip, so each
 measurement chains BENCH_STEPS decode steps *inside one jit* (token and
-cache feed back step-to-step) and fetches a single scalar; per-step time
-= total / steps, min over trials. See BENCHNOTES.md.
+cache feed back step-to-step), fetches a single scalar, and subtracts a
+measured null-call floor; per-step = total / steps, min over trials.
+See BENCHNOTES.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-value = measured speedup and vs_baseline = value / 2.0 (the reference's
-reported ~2x).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
+import gc
 import json
 import os
 import sys
@@ -41,16 +49,26 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from bitdelta_tpu.core.delta import BinaryDelta
+from bitdelta_tpu.core.delta import BinaryDelta, PairedBinaryDelta
 from bitdelta_tpu.models.config import ModelConfig
 from bitdelta_tpu.models import llama
 
-NUM_LAYERS = int(os.environ.get("BENCH_LAYERS", "8"))
-TENANTS = int(os.environ.get("BENCH_TENANTS", "8"))  # reference ablation B=8
-STEPS = int(os.environ.get("BENCH_STEPS", "64"))
+NUM_LAYERS = int(os.environ.get("BENCH_LAYERS", "32"))
+# 6 tenants = the reference demo's headline config (README.md:18) and the
+# BASELINE north star (">=6 Mistral-7B tenants/chip"); T=8 with the full
+# 32L W8 stack overruns the 16 GB v5e by ~0.5 GB (measured OOM).
+TENANTS = int(os.environ.get("BENCH_TENANTS", "6"))
+STEPS = int(os.environ.get("BENCH_STEPS", "32"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "3"))
+RUN_ENGINE = os.environ.get("BENCH_ENGINE", "1") == "1"
+ENGINE_CHUNK = int(os.environ.get("BENCH_ENGINE_CHUNK", "16"))
+ENGINE_NEW_TOKENS = int(os.environ.get("BENCH_ENGINE_NEW_TOKENS", "64"))
 MAX_SEQ = 256
 REFERENCE_SPEEDUP = 2.0  # docs/index.html:394-404
+
+# Measured machine rooflines (BENCHNOTES.md; floor-corrected, chained).
+HBM_BYTES_PER_S = 0.72e12        # achievable stream (88% of v5e spec)
+VPU_UNPACKED_ELEM_PER_S = 1.58e15  # pair-kernel bit-plane rate
 
 
 def log(msg):
@@ -71,7 +89,7 @@ def proj_shapes(cfg):
 
 def measure_floor():
     """Min cost of a null jit call + host readback through the relay
-    (~27 ms measured); subtracted from every chained total so per-step
+    (~25 ms measured); subtracted from every chained total so per-step
     numbers aren't inflated by floor/STEPS (BENCHNOTES.md)."""
     @jax.jit
     def null(x):
@@ -97,120 +115,197 @@ def timed(fn, *args):
         _FLOOR = measure_floor()
         log(f"null-call floor: {_FLOOR*1e3:.1f} ms (subtracted)")
     t0 = time.time()
-    v = float(fn(*args))
+    float(fn(*args))
     compile_and_first = time.time() - t0
     ts = []
     for _ in range(TRIALS):
         t0 = time.perf_counter()
-        v = float(fn(*args))
+        float(fn(*args))
         ts.append(time.perf_counter() - t0)
     return max(min(ts) - _FLOOR, 1e-9) / STEPS, compile_and_first
+
+
+def rand_bits(key, shape, dtype=jnp.int32):
+    """Random packed words generated directly at the target width (no
+    int32->int8 staging temps — matters at 7 GB of deltas)."""
+    nbits = jnp.dtype(dtype).itemsize * 8
+    raw = jax.random.bits(key, shape, jnp.uint8 if nbits == 8
+                          else jnp.uint32)
+    return jax.lax.bitcast_convert_type(raw, dtype)
+
+
+def build_cfg():
+    shrink = int(os.environ.get("BENCH_SHRINK", "1"))  # smoke divisor
+    return ModelConfig(vocab_size=32000 // shrink // 256 * 256,
+                       hidden_size=4096 // shrink,
+                       intermediate_size=14336 // shrink // 256 * 256,
+                       num_layers=NUM_LAYERS,
+                       num_heads=max(32 // shrink, 1),
+                       num_kv_heads=max(8 // shrink, 1),
+                       max_seq_len=MAX_SEQ, sliding_window=4096)
+
+
+def build_serve_world(cfg):
+    """Serving stack built DIRECTLY in deployment layout (W8 base, pair
+    deltas) so peak memory never doubles through conversions."""
+    from bitdelta_tpu.research.quantized_base import Int8Weight
+
+    L, T = cfg.num_layers, TENANTS
+    D, V = cfg.hidden_size, cfg.vocab_size
+    keys = iter(jax.random.split(jax.random.PRNGKey(7), 64))
+
+    layers = {
+        "attn_norm": jnp.ones((L, T, D), jnp.bfloat16),
+        "mlp_norm": jnp.ones((L, T, D), jnp.bfloat16),
+    }
+    deltas = {}
+    for name, (k, n) in proj_shapes(cfg).items():
+        layers[name] = Int8Weight(
+            q=rand_bits(next(keys), (L, k, n), jnp.int8),
+            scale=jnp.full((L, n), 2e-4, jnp.float32))
+        if n % 256 == 0:
+            deltas[name] = PairedBinaryDelta(
+                packed_pairs=rand_bits(next(keys), (L, T, k // 16, n // 2)),
+                colsum=jnp.zeros((L, T, n), jnp.float32),
+                scale=jnp.full((L, T), 0.01, jnp.float32))
+        else:  # pair-ineligible (kv_dim in shrink mode): canonical words
+            deltas[name] = BinaryDelta(
+                packed=rand_bits(next(keys), (L, T, k // 32, n)),
+                scale=jnp.full((L, T), 0.01, jnp.float32))
+    params = {
+        "layers": layers,
+        "final_norm": jnp.ones((T, D), jnp.bfloat16),
+        "embed": (jax.random.normal(next(keys), (V, D), jnp.bfloat16)
+                  * 0.02),
+        "lm_head": (jax.random.normal(next(keys), (D, V), jnp.bfloat16)
+                    * 0.02),
+    }
+    # 1-bit compressed per-tenant embeddings/lm_head (shared base +
+    # delta): kills the per-tenant dense (V, D) tensors entirely.
+    deltas["embed"] = BinaryDelta(
+        packed=rand_bits(next(keys), (T, D // 32, V)),
+        scale=jnp.full((T,), 0.01, jnp.float32))
+    deltas["lm_head"] = PairedBinaryDelta(
+        packed_pairs=rand_bits(next(keys), (T, D // 16, V // 2)),
+        colsum=jnp.zeros((T, V), jnp.float32),
+        scale=jnp.full((T,), 0.01, jnp.float32))
+    return params, deltas
+
+
+def accounting(cfg, t_ours):
+    """Modeled speed-of-light decomposition of one multi-tenant step."""
+    L, T = cfg.num_layers, TENANTS
+    D, V = cfg.hidden_size, cfg.vocab_size
+    proj_elems = sum(k * n for k, n in proj_shapes(cfg).values()) * L
+    hbm = (proj_elems                      # int8 base, 1 B/elem
+           + proj_elems // 8 * T           # packed deltas, 1 bit/elem
+           + D * V * 2                     # shared bf16 lm_head
+           + D * V // 8 * T                # 1-bit head deltas
+           + 2 * L * T * 32 * cfg.num_kv_heads * cfg.head_dim * 2)  # KV@32
+    vpu = (proj_elems + D * V) * T         # unpacked delta elems
+    t_hbm = hbm / HBM_BYTES_PER_S
+    t_vpu = vpu / VPU_UNPACKED_ELEM_PER_S
+    return {
+        "hbm_bytes_per_step": hbm,
+        "vpu_unpacked_elems_per_step": vpu,
+        "hbm_frac": round(t_hbm / t_ours, 3),
+        "vpu_frac": round(t_vpu / t_ours, 3),
+        "sol_frac_overlapped": round(max(t_hbm, t_vpu) / t_ours, 3),
+    }
+
+
+def make_chained(cfg, kernel, step_fn, batch):
+    cache0 = llama.init_cache(cfg, batch, MAX_SEQ, jnp.bfloat16)
+    cache0 = cache0._replace(length=jnp.full((batch,), 32, jnp.int32))
+    tokens0 = jnp.ones((batch, 1), jnp.int32)
+
+    @jax.jit
+    def run(params, deltas_or_none, cache, tokens):
+        def body(carry, _):
+            tokens, cache = carry
+            logits, cache = step_fn(params, deltas_or_none, tokens, cache)
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)[:, None]
+            # keep cache length fixed so window cost is constant
+            cache = cache._replace(length=cache.length - 1)
+            return (nxt, cache), ()
+        (tokens, cache), _ = jax.lax.scan(body, (tokens, cache), None,
+                                          length=STEPS)
+        return tokens.sum() + cache.length.sum()
+    return run, cache0, tokens0
+
+
+def bench_engine(cfg, params, deltas, kernel):
+    """Engine-level tok/s: Engine.generate() through chunked decode —
+    includes admission/prefill, sampling, host syncs, event fan-out."""
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import TenantStack
+
+    stack = TenantStack(params=params, deltas=deltas,
+                        vocab_sizes=jnp.full((TENANTS,), cfg.vocab_size,
+                                             jnp.int32),
+                        num_tenants=TENANTS)
+    eng = Engine(cfg, stack, max_slots=TENANTS, max_seq=MAX_SEQ,
+                 prefill_buckets=(64,), kernel=kernel,
+                 compute_dtype=jnp.bfloat16, decode_chunk=ENGINE_CHUNK)
+    log("engine warmup (prefill bucket + decode chunk compiles) ...")
+    t0 = time.time()
+    eng.warmup()
+    log(f"  warmup {time.time()-t0:.0f}s; generating "
+        f"{TENANTS} x {ENGINE_NEW_TOKENS} tokens ...")
+    rng = np.random.default_rng(0)
+    reqs = [Request(prompt_ids=list(rng.integers(1, cfg.vocab_size, 30)),
+                    tenant_id=t, max_new_tokens=ENGINE_NEW_TOKENS)
+            for t in range(TENANTS)]
+    t0 = time.perf_counter()
+    outs = eng.generate(reqs)
+    dt = time.perf_counter() - t0
+    toks = sum(len(o) for o in outs)
+    log(f"  engine: {toks} tokens in {dt:.2f}s = {toks/dt:.1f} tok/s "
+        f"(chunk={ENGINE_CHUNK})")
+    return toks / dt
 
 
 def main():
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
-    shrink = int(os.environ.get("BENCH_SHRINK", "1"))  # smoke-test divisor
-    cfg = ModelConfig(vocab_size=32000 // shrink,
-                      hidden_size=4096 // shrink,
-                      intermediate_size=14336 // shrink // 32 * 32,
-                      num_layers=NUM_LAYERS,
-                      num_heads=max(32 // shrink, 1),
-                      num_kv_heads=max(8 // shrink, 1),
-                      max_seq_len=MAX_SEQ, sliding_window=4096)
-    key = jax.random.PRNGKey(0)
-    params = llama.init_params(cfg, key, jnp.bfloat16)
-
-    deltas = {}
-    for i, (name, (k, n)) in enumerate(proj_shapes(cfg).items()):
-        words = jax.random.randint(
-            jax.random.PRNGKey(100 + i),
-            (cfg.num_layers, TENANTS, k // 32, n),
-            -2**31, 2**31 - 1, jnp.int32)
-        deltas[name] = BinaryDelta(
-            packed=words,
-            scale=jnp.full((cfg.num_layers, TENANTS), 0.01, jnp.float32))
-
-    compress_heads = os.environ.get("BENCH_COMPRESS_EMBEDS", "1") == "1"
-    serve_params = dict(params)
-    serve_params["layers"] = dict(params["layers"])
-    if compress_heads:
-        # compress_embeddings serving mode: shared base embed/lm_head +
-        # per-tenant 1-bit deltas (packed along D). ~2x tenant density
-        # and no per-tenant dense head streaming at decode.
-        deltas["embed"] = BinaryDelta(
-            packed=jax.random.randint(
-                jax.random.PRNGKey(200),
-                (TENANTS, cfg.hidden_size // 32, cfg.vocab_size),
-                -2**31, 2**31 - 1, jnp.int32),
-            scale=jnp.full((TENANTS,), 0.01, jnp.float32))
-        deltas["lm_head"] = BinaryDelta(
-            packed=jax.random.randint(
-                jax.random.PRNGKey(201),
-                (TENANTS, cfg.hidden_size // 32, cfg.vocab_size),
-                -2**31, 2**31 - 1, jnp.int32),
-            scale=jnp.full((TENANTS,), 0.01, jnp.float32))
-    else:
-        serve_params["embed"] = jnp.tile(params["embed"][None],
-                                         (TENANTS, 1, 1))
-        serve_params["lm_head"] = jnp.tile(params["lm_head"][None],
-                                           (TENANTS, 1, 1))
-    serve_params["final_norm"] = jnp.tile(params["final_norm"][None],
-                                          (TENANTS, 1))
-    serve_params["layers"]["attn_norm"] = jnp.tile(
-        params["layers"]["attn_norm"][:, None], (1, TENANTS, 1))
-    serve_params["layers"]["mlp_norm"] = jnp.tile(
-        params["layers"]["mlp_norm"][:, None], (1, TENANTS, 1))
-    quant_base = os.environ.get("BENCH_QUANT_BASE", "0") == "1"
-    if quant_base:
-        # W8+W1 mode: both sides serve the int8 base (apples-to-apples;
-        # halves base HBM traffic — measured 1.95x on the base matmul).
-        from bitdelta_tpu.research.quantized_base import (
-            quantize_base_projections)
-
-        serve_params = quantize_base_projections(serve_params)
-        params = quantize_base_projections(params)
-    jax.block_until_ready(serve_params)
-
+    cfg = build_cfg()
     kernel = "pallas" if backend == "tpu" else "xla"
-    if kernel == "pallas":
-        # Serving delta layout: pair-packed (2 output columns per word),
-        # 1.46x the one-column VPU kernel (BENCHNOTES.md).
-        from bitdelta_tpu.core.delta import pair_delta
-
-        # "embed" stays canonical — it is consumed by gather, not matmul.
-        deltas = {k: (pair_delta(d)
-                      if k != "embed" and d.packed.shape[-1] % 256 == 0
-                      else d)
-                  for k, d in deltas.items()}
     tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
 
-    def chained(step_fn, batch):
-        cache0 = llama.init_cache(cfg, batch, MAX_SEQ, jnp.bfloat16)
-        cache0 = cache0._replace(
-            length=jnp.full((batch,), 32, jnp.int32))
-        tokens0 = jnp.ones((batch, 1), jnp.int32)
-
-        @jax.jit
-        def run(params, deltas_or_none, cache, tokens):
-            def body(carry, _):
-                tokens, cache = carry
-                logits, cache = step_fn(params, deltas_or_none, tokens,
-                                        cache)
-                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(
-                    jnp.int32)[:, None]
-                # keep cache length fixed so window cost is constant
-                cache = cache._replace(length=cache.length - 1)
-                return (nxt, cache), ()
-            (tokens, cache), _ = jax.lax.scan(
-                body, (tokens, cache), None, length=STEPS)
-            return tokens.sum() + cache.length.sum()
-        return run, cache0, tokens0
+    # ---- phase 1: ours (full model, W8 base + W1 pair deltas) --------
+    log(f"building serve world: {cfg.num_layers}L x {TENANTS} tenants, "
+        f"W8 base + W1 deltas + 1-bit heads ...")
+    serve_params, deltas = build_serve_world(cfg)
+    jax.block_until_ready(serve_params)
 
     def ours_step(p, d, tokens, cache):
         return llama.decode_step(cfg, p, tokens, cache, deltas=d,
                                  tenant_ids=tenant_ids,
                                  compute_dtype=jnp.bfloat16, kernel=kernel)
+
+    log("compiling + running ours (multi-tenant fused) ...")
+    run_o, cache_o, tok_o = make_chained(cfg, kernel, ours_step, TENANTS)
+    t_ours, c1 = timed(run_o, serve_params, deltas, cache_o, tok_o)
+    log(f"  ours: {t_ours*1e3:.2f} ms/step = {TENANTS/t_ours:.1f} tok/s "
+        f"(first call incl compile {c1:.0f}s)")
+    del run_o, cache_o, tok_o
+    acct = accounting(cfg, t_ours)
+    log(f"  modeled floors: hbm {acct['hbm_frac']:.2f} vpu "
+        f"{acct['vpu_frac']:.2f} sol(overlap) "
+        f"{acct['sol_frac_overlapped']:.2f} of measured step")
+
+    # ---- phase 2: engine-level serving ------------------------------
+    engine_tok_s = None
+    if RUN_ENGINE:
+        engine_tok_s = bench_engine(cfg, serve_params, deltas, kernel)
+
+    del serve_params, deltas
+    gc.collect()
+
+    # ---- phase 3: naive bf16 (per-tenant dense fine-tunes) ----------
+    log("building naive bf16 single model ...")
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    jax.block_until_ready(params)
 
     def naive_step(p, _unused, tokens, cache):
         # same kernel policy as ours (incl. flash decode attention) —
@@ -219,32 +314,51 @@ def main():
         return llama.decode_step(cfg, p, tokens, cache,
                                  compute_dtype=jnp.bfloat16, kernel=kernel)
 
-    log("compiling + running ours (multi-tenant fused) ...")
-    run_o, cache_o, tok_o = chained(ours_step, TENANTS)
-    t_ours, c1 = timed(run_o, serve_params, deltas, cache_o, tok_o)
-    log(f"  ours: {t_ours*1e3:.2f} ms/step (first call incl compile "
-        f"{c1:.0f}s)")
+    log("compiling + running naive bf16 (single-tenant dense) ...")
+    run_n, cache_n, tok_n = make_chained(cfg, kernel, naive_step, 1)
+    t_bf16, _ = timed(run_n, params, None, cache_n, tok_n)
+    log(f"  naive bf16: {t_bf16*1e3:.2f} ms/model-step x {TENANTS} = "
+        f"{t_bf16*TENANTS*1e3:.2f} ms")
 
-    log("compiling + running naive (single-tenant dense) ...")
-    run_n, cache_n, tok_n = chained(naive_step, 1)
-    t_one, c2 = timed(run_n, params, None, cache_n, tok_n)
-    t_naive = t_one * TENANTS
-    log(f"  naive: {t_one*1e3:.2f} ms/model-step x {TENANTS} = "
-        f"{t_naive*1e3:.2f} ms")
+    # ---- phase 4: naive W8 (quantized fine-tunes; apples-to-apples) --
+    from bitdelta_tpu.research.quantized_base import quantize_int8
+
+    log("quantizing naive model to W8 (leaf-wise) ...")
+    params["layers"] = dict(params["layers"])
+    for name in proj_shapes(cfg):
+        params["layers"][name] = quantize_int8(params["layers"][name])
+        jax.block_until_ready(params["layers"][name])
+    run_n8, cache_n8, tok_n8 = make_chained(cfg, kernel, naive_step, 1)
+    t_w8, _ = timed(run_n8, params, None, cache_n8, tok_n8)
+    log(f"  naive W8:   {t_w8*1e3:.2f} ms/model-step x {TENANTS} = "
+        f"{t_w8*TENANTS*1e3:.2f} ms")
 
     toks_ours = TENANTS / t_ours
-    speedup = t_naive / t_ours
-    log(f"ours throughput: {toks_ours:.1f} tok/s ({TENANTS} tenants, "
-        f"{NUM_LAYERS} layers); speedup vs naive: {speedup:.2f}x "
+    speedup = t_bf16 * TENANTS / t_ours
+    speedup_w8 = t_w8 * TENANTS / t_ours
+    log(f"ours {toks_ours:.1f} tok/s/chip ({TENANTS} full "
+        f"{cfg.num_layers}L tenants); speedup vs naive bf16 "
+        f"{speedup:.2f}x, vs naive W8 {speedup_w8:.2f}x "
         f"(reference ~{REFERENCE_SPEEDUP}x)")
 
-    print(json.dumps({
+    out = {
         "metric": "multitenant_1bit_decode_speedup_vs_naive",
         "value": round(speedup, 3),
-        "unit": f"x (T={TENANTS}, Mistral-7B-shaped {NUM_LAYERS} layers, "
-                f"{backend})",
+        "unit": f"x (T={TENANTS} FULL Mistral-7B {cfg.num_layers}L, "
+                f"ours=W8 base+W1 pair deltas+1-bit heads vs naive bf16 "
+                f"dense/tenant, {backend})",
         "vs_baseline": round(speedup / REFERENCE_SPEEDUP, 3),
-    }))
+        "tok_s_per_chip": round(toks_ours, 1),
+        "ms_per_step": round(t_ours * 1e3, 2),
+        "speedup_vs_naive_w8": round(speedup_w8, 3),
+        "naive_bf16_ms": round(t_bf16 * 1e3, 2),
+        "naive_w8_ms": round(t_w8 * 1e3, 2),
+        **acct,
+    }
+    if engine_tok_s is not None:
+        out["engine_tok_s"] = round(engine_tok_s, 1)
+        out["engine_vs_raw_chain"] = round(engine_tok_s / toks_ours, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

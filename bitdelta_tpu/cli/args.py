@@ -36,12 +36,13 @@ def add_train_args(p: argparse.ArgumentParser):
                         "against the base (requires matching vocab; "
                         "beyond-reference — its stated future work)")
     p.add_argument("--quantize_base", type=str, default=None,
-                   choices=("int8",),
-                   help="W8+W1: int8-quantize the base projections; "
-                        "deltas are taken against the dequantized base "
-                        "(the reference's quantized-base ablation) and "
-                        "serving streams the int8 base at half the "
-                        "footprint/traffic")
+                   choices=("int8", "int4"),
+                   help="W8+W1 / W4+W1: quantize the base projections "
+                        "(int8 per-column RTN, or int4 grouped RTN — the "
+                        "reference's GPTQ+delta ablation row); deltas are "
+                        "taken against the dequantized base and serving "
+                        "streams the quantized base (int8: half traffic; "
+                        "int4: quarter footprint, the density mode)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture a jax profiler trace of the distillation "

@@ -39,14 +39,13 @@ def main(argv=None):
     model_mod = resolve_model_module(cfg)
     if args.model_diff is not None:
         comp, _, meta = load_delta(args.model_diff, return_meta=True)
-        if meta.get("base_quant") == "int8":
-            # W8+W1 artifact: fuse against the int8 round-tripped base
-            # (what the deltas were taken against).
-            from ..research.quantized_base import (
-                dequantize_base_projections, quantize_base_projections)
+        if meta.get("base_quant") is not None:
+            # W{8,4}+W1 artifact: fuse against the quantized
+            # round-tripped base (what the deltas were taken against).
+            from ..research.quantized_base import roundtrip_base
 
-            params = dequantize_base_projections(
-                quantize_base_projections(params), jnp.dtype(args.dtype))
+            params = roundtrip_base(params, meta["base_quant"],
+                                    jnp.dtype(args.dtype))
         params = fuse_compressed(params, comp)
 
     tokenizer = get_tokenizer(args.base_model)

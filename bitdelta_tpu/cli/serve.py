@@ -82,16 +82,17 @@ def main(argv=None):
     if len(base_quants) > 1:
         raise SystemExit(f"tenants disagree on base_quant: {base_quants}")
     base_quant = base_quants.pop()
-    if base_quant == "int8":
-        # W8+W1 artifacts: serve the int8 base (deltas were taken
-        # against its dequantized values — this is exact).
-        from ..research.quantized_base import quantize_base_projections
+    if base_quant is not None:
+        # W{8,4}+W1 artifacts: serve the quantized base (deltas were
+        # taken against its dequantized values — this is exact).
+        from ..research.quantized_base import BASE_QUANT_MODES, quantize_base
 
-        print("artifacts were built against an int8 base — serving the "
-              "W8 base (half footprint/traffic)", flush=True)
-        base = quantize_base_projections(base)
-    elif base_quant is not None:
-        raise SystemExit(f"unsupported artifact base_quant {base_quant!r}")
+        if base_quant not in BASE_QUANT_MODES:
+            raise SystemExit(
+                f"unsupported artifact base_quant {base_quant!r}")
+        print(f"artifacts were built against an {base_quant} base — "
+              f"serving the quantized base", flush=True)
+        base = quantize_base(base, base_quant)
     stack = stack_tenants(cfg, base, compressed)
     mem = stack_nbytes(stack)
     print(f"base {mem['base_bytes']/1e9:.2f} GB + "

@@ -56,16 +56,14 @@ def main(argv=None):
                 raise SystemExit(f"--{flag} is not supported for Mixtral")
 
     if args.quantize_base:
-        # W8+W1: replace the base projections with their int8
+        # W{8,4}+W1: replace the base projections with their quantized
         # round-trip BEFORE compressing/distilling, so the deltas and
-        # the distilled scales are exact for int8-base serving.
-        from ..research.quantized_base import (
-            dequantize_base_projections, quantize_base_projections)
+        # the distilled scales are exact for quantized-base serving.
+        from ..research.quantized_base import roundtrip_base
 
         print(f"quantizing base projections ({args.quantize_base}) ...",
               flush=True)
-        base = dequantize_base_projections(
-            quantize_base_projections(base), dtype)
+        base = roundtrip_base(base, args.quantize_base, dtype)
 
     mesh_shape = A.parse_mesh(args.mesh)
     mesh = None

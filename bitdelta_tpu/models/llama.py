@@ -123,16 +123,19 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
 
 
 def _base_matmul(x: jax.Array, w, compute_dtype) -> jax.Array:
-    """``x @ W_base`` in f32 accumulation. ``w`` is a dense matrix or an
-    Int8Weight (W8 serving mode, research/quantized_base.py): int8
-    contraction with the per-column scale applied to the accumulator —
-    halves base HBM traffic and footprint."""
-    from ..research.quantized_base import Int8Weight
+    """``x @ W_base`` in f32 accumulation. ``w`` is a dense matrix, an
+    Int8Weight (W8 serving: int8 contraction, per-column scale on the
+    accumulator — half the base HBM traffic/footprint) or an Int4Weight
+    (W4 density mode: grouped-RTN nibbles, per-group contraction;
+    research/quantized_base.py)."""
+    from ..research.quantized_base import Int4Weight, Int8Weight, int4_matmul
 
     if isinstance(w, Int8Weight):
         y = jnp.matmul(x.astype(compute_dtype), w.q.astype(compute_dtype),
                        preferred_element_type=jnp.float32)
         return y * w.scale[..., None, :].astype(jnp.float32)
+    if isinstance(w, Int4Weight):
+        return int4_matmul(x, w, compute_dtype, out_dtype=jnp.float32)
     return jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
                       preferred_element_type=jnp.float32)
 

@@ -350,7 +350,9 @@ class Engine:
             fn(self.stack.params, self.stack.deltas, jnp.asarray(tokens),
                jnp.asarray([1], jnp.int32), jnp.asarray([0], jnp.int32),
                self.stack.vocab_sizes)
-        ks = sorted({*chunks} | {1, self.decode_chunk})
+        # Near-cap fallback chunks (smaller powers of two) compile lazily
+        # if ever hit; warming every size would multiply boot compiles.
+        ks = sorted({*chunks} | {self.decode_chunk})
         active = np.zeros((self.max_slots,), bool)  # lengths stay parked
         for k in ks:
             fn = self._chunk_jit(k)

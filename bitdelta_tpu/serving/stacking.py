@@ -149,8 +149,10 @@ def to_pair_layout(stack: TenantStack, tp: int = 1) -> TenantStack:
     deltas = {}
     for name, d in stack.deltas.items():
         # "embed" is consumed by gather (one packed column per token),
-        # not by the matmul kernels — it stays canonical.
-        if name == "embed":
+        # not by the matmul kernels — it stays canonical. Already-paired
+        # leaves (pre-converted stacks, e.g. built directly in serving
+        # layout to halve peak memory) pass through.
+        if name == "embed" or hasattr(d, "packed_pairs"):
             deltas[name] = d
             continue
         k32, n = d.packed.shape[-2], d.packed.shape[-1]
@@ -186,8 +188,10 @@ def _delta_nbytes(d) -> int:
 
 
 def _weight_nbytes(w) -> int:
-    if hasattr(w, "q"):   # Int8Weight (W8 base serving mode)
+    if hasattr(w, "q"):        # Int8Weight (W8 base serving mode)
         return w.q.size + w.scale.size * 4
+    if hasattr(w, "packed"):   # Int4Weight (W4 density mode)
+        return w.packed.size * 4 + w.scale.size * 4
     return w.size * w.dtype.itemsize
 
 

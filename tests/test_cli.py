@@ -210,7 +210,7 @@ def test_train_serve_eval_with_quantized_base(hf_pair, tmp_path, capsys):
                 "--dtype", "float32", "--kernel", "xla", "--max_seq", "64",
                 "--smoke_test"])
     captured = capsys.readouterr().out
-    assert "serving the W8 base" in captured
+    assert "serving the quantized base" in captured
     assert "[smoke ok]" in captured
 
     corpus = tmp_path / "corpus.txt"

@@ -199,3 +199,144 @@ def test_w8_base_serving_matches_dequantized_dense():
     nb_dense = stack_nbytes(stack_tenants(cfg, deq, tenants))
     nb_int8 = stack_nbytes(stack_tenants(cfg, qbase, tenants))
     assert nb_int8["base_bytes"] < 0.6 * nb_dense["base_bytes"]
+
+
+# ---------------------------------------------------------------------------
+# W4 base (grouped int4 RTN) — the reference's GPTQ+delta ablation row
+# ---------------------------------------------------------------------------
+
+def test_int4_pack_unpack_roundtrip():
+    from bitdelta_tpu.research.quantized_base import (_pack_nibbles,
+                                                      _unpack_nibbles)
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.integers(-7, 8, (64, 32)), jnp.int32)
+    got = np.asarray(_unpack_nibbles(_pack_nibbles(q)))
+    np.testing.assert_array_equal(got, np.asarray(q))
+
+
+def test_int4_quantization_roundtrip_error_bounded():
+    from bitdelta_tpu.research.quantized_base import (dequantize_int4,
+                                                      quantize_int4)
+    rng = np.random.default_rng(12)
+    base = jnp.asarray(0.02 * rng.standard_normal((256, 64)), jnp.float32)
+    q = quantize_int4(base)
+    assert q.packed.shape == (32, 64) and q.scale.shape == (2, 64)
+    deq = np.asarray(dequantize_int4(q))
+    # RTN error bounded by half a step: |err| <= scale/2 per group/col.
+    step = np.asarray(q.scale)
+    err = np.abs(deq - np.asarray(base))
+    assert (err <= np.repeat(step, 128, axis=0) / 2 + 1e-7).all()
+    # int4 grouped must be coarser than int8 per-column, but same order.
+    from bitdelta_tpu.research.quantized_base import (dequantize_int8,
+                                                      quantize_int8)
+    err8 = np.abs(np.asarray(dequantize_int8(quantize_int8(base)))
+                  - np.asarray(base)).mean()
+    assert err8 < err.mean() < 32 * err8
+
+
+def test_int4_matmul_matches_dequantized_dense():
+    from bitdelta_tpu.research.quantized_base import (dequantize_int4,
+                                                      int4_matmul,
+                                                      quantize_int4)
+    rng = np.random.default_rng(13)
+    base = jnp.asarray(0.05 * rng.standard_normal((256, 48)), jnp.float32)
+    q = quantize_int4(base)
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.float32)
+    got = np.asarray(int4_matmul(x, q, compute_dtype=jnp.float32))
+    want = np.asarray(x) @ np.asarray(dequantize_int4(q))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_w4_plus_w1_beats_w4_alone():
+    from bitdelta_tpu.research.quantized_base import (
+        int4_matmul, quantize_int4_base_with_delta)
+    from bitdelta_tpu.core.delta import delta_linear
+    from bitdelta_tpu.research.quantized_base import dequantize_int4
+
+    rng = np.random.default_rng(14)
+    base = jnp.asarray(0.05 * rng.standard_normal((128, 64)), jnp.float32)
+    fine = base + jnp.asarray(0.1 * rng.standard_normal((128, 64)),
+                              jnp.float32)
+    qbase, delta = quantize_int4_base_with_delta(base, fine)
+    x = jnp.asarray(rng.standard_normal((8, 128)), jnp.float32)
+    y_fine = np.asarray(x @ fine)
+    y_q = np.asarray(int4_matmul(x, qbase, compute_dtype=jnp.float32))
+    deq = dequantize_int4(qbase, jnp.float32)
+    y_qd = np.asarray(delta_linear(x, deq, delta,
+                                   compute_dtype=jnp.float32))
+    assert np.abs(y_qd - y_fine).mean() < np.abs(y_q - y_fine).mean()
+
+
+def _w4_world():
+    import jax
+
+    from bitdelta_tpu.core.compress import compress_model
+    from bitdelta_tpu.models import config as cfgs
+    from bitdelta_tpu.models import llama as jl
+    from bitdelta_tpu.research.quantized_base import (quantize_base,
+                                                      roundtrip_base)
+
+    # hidden/intermediate must divide the 128-row int4 groups.
+    cfg = cfgs.tiny_test_config(vocab_size=64, hidden_size=128,
+                                intermediate_size=256, num_layers=2,
+                                num_heads=2, num_kv_heads=2,
+                                dtype="float32")
+    dense = jl.init_params(cfg, jax.random.PRNGKey(0), jnp.float32,
+                           scale=0.25)
+    qbase = quantize_base(dense, "int4")
+    deq = roundtrip_base(dense, "int4", jnp.float32)
+    tenants = []
+    for t in range(2):
+        fine = dict(dense)
+        fine["layers"] = dict(dense["layers"])
+        key = jax.random.PRNGKey(500 + t)
+        for name in jl.PROJ_NAMES:
+            key, sub = jax.random.split(key)
+            fine["layers"][name] = dense["layers"][name] + (
+                0.05 * jax.random.normal(sub, dense["layers"][name].shape))
+        tenants.append((fine, compress_model(deq, fine)))
+    return cfg, dense, qbase, deq, tenants
+
+
+def test_w4_base_serving_matches_dequantized_dense():
+    """W4 serving mode end-to-end: Engine over int4 base projections
+    greedy-matches the dequantized dense base (deltas taken against the
+    dequantized values — the same function up to matmul rounding)."""
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import stack_nbytes, stack_tenants
+
+    cfg, dense, qbase, deq, tenants = _w4_world()
+    comp = [c for _, c in tenants]
+    outs = {}
+    for name, b in (("dense", deq), ("int4", qbase)):
+        stack = stack_tenants(cfg, b, comp)
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla")
+        outs[name] = eng.generate(
+            [Request(prompt_ids=[3, 9, 4], tenant_id=t, max_new_tokens=6)
+             for t in range(2)])
+    assert outs["dense"] == outs["int4"]
+    # Density accounting: int4 base ~quarter the dense base bytes.
+    nb_dense = stack_nbytes(stack_tenants(cfg, deq, comp))
+    nb_int4 = stack_nbytes(stack_tenants(cfg, qbase, comp))
+    assert nb_int4["base_bytes"] < 0.45 * nb_dense["base_bytes"]
+
+
+def test_w4_plus_w1_ppl_beats_w4_alone():
+    """The ablation's quality claim at the model level (reference
+    docs/index.html:436-453: GPTQ 58.67 -> GPTQ+delta 59.22): perplexity
+    of the fine-tune's corpus under W4+delta must beat the W4 base
+    alone, and approach the dense fine-tune."""
+    from bitdelta_tpu.core.compress import fuse_compressed
+    from bitdelta_tpu.eval.ppl import eval_ppl
+
+    cfg, dense, qbase, deq, tenants = _w4_world()
+    fine, comp = tenants[0]
+    rng = np.random.default_rng(15)
+    toks = rng.integers(0, cfg.vocab_size, size=(512,))
+    kw = dict(context_size=64, window_size=32, batch_windows=4)
+    ppl_fine = eval_ppl(cfg, fine, toks, **kw)
+    ppl_w4 = eval_ppl(cfg, deq, toks, **kw)
+    ppl_w4d = eval_ppl(cfg, fuse_compressed(deq, comp), toks, **kw)
+    # delta recovers most of the fine-tune's behavior on its own corpus
+    assert abs(ppl_w4d - ppl_fine) < abs(ppl_w4 - ppl_fine)

@@ -244,7 +244,7 @@ def test_engine_warmup_compiles_buckets():
     cfg, base, tenants, stack = _make_world(num_tenants=2)
     eng = Engine(cfg, stack, max_slots=2, max_seq=64,
                  prefill_buckets=(16, 32), kernel="xla", decode_chunk=4)
-    warmed = eng.warmup()
+    warmed = eng.warmup(chunks=(1,))
     assert warmed == {"prefill": [16, 32], "decode": [1, 4]}
     assert eng.warmed is warmed
     # Warmup must leave the engine fully usable (clean cache/slots).
