@@ -50,7 +50,7 @@ def main(argv=None):
     model_mod = resolve_model_module(cfg)
     is_mixtral = model_mod is not llama
     if is_mixtral:
-        for flag in ("compress_embeddings", "quantize_base", "mesh",
+        for flag in ("compress_embeddings", "quantize_base",
                      "save_full_model"):
             if getattr(args, flag):
                 raise SystemExit(f"--{flag} is not supported for Mixtral")

@@ -71,11 +71,90 @@ def _delta_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
     return y.astype(compute_dtype)
 
 
+def _expert_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
+                   tenant_ids=None):
+    """All-experts matmul, vectorized over the expert axis.
+
+    Two shapes, distinguished by ``x.ndim``:
+      * expert input (w1/w3): x ``(B, S, D)``, w ``(E, D, I)``
+        -> ``(B, S, E, I)`` — the activations fan out to every expert;
+      * expert output (w2): x ``(B, S, E, I)``, w ``(E, I, D)``
+        -> ``(B, S, E, D)`` — each expert consumes its own intermediate.
+
+    The einsum-over-E formulation (vs a Python loop of per-expert dots)
+    is what lets GSPMD shard the expert stacks: Megatron TP inside each
+    expert (w1/w3 column-parallel on I, w2 row-parallel on I — one psum
+    per MoE block, same pattern as llama gate/up/down) falls out of the
+    sharding annotations in parallel/sharding.py with no code here
+    changing; expert-parallel (shard E) works the same way when
+    ``E % tp == 0``.
+
+    Deltas: packed ``(E, K//32, N)`` single-tenant or ``(T, E, K//32, N)``
+    tenant-stacked, routed per batch row (only *packed* words gather —
+    1/16 the bytes of gathering dense weights)."""
+    shared_in = x.ndim == 3
+    x = x.astype(compute_dtype)
+
+    def contract(w_e, batched):
+        """Per-expert contraction in canonical leading-batch form.
+
+        CPU XLA's mixed-precision DotThunk (bf16 x bf16 = f32) only
+        supports plain GEMMs and batched GEMMs whose batch dim leads
+        BOTH operands; einsum forms like "bsei,eid->bsed" lower to
+        multi/middle-batch dots it rejects. Normalizing to
+        ``(G, M, K) @ (G, K, N)`` (or a flat GEMM) keeps one code path
+        that works everywhere — on TPU the transposes fuse into the
+        surrounding ops and the MXU sees identical contractions."""
+        if shared_in:
+            if batched:  # x (B,S,D) . w_e (B,E,D,I) -> (B,S,E,I)
+                return jnp.einsum("bsd,bedi->bsei", x, w_e,
+                                  preferred_element_type=jnp.float32)
+            return jnp.einsum("bsd,edi->bsei", x, w_e,
+                              preferred_element_type=jnp.float32)
+        b, s, e, i = x.shape
+        if batched:  # x (B,S,E,I) . w_e (B,E,I,D) -> (B,S,E,D)
+            n = w_e.shape[-1]
+            xt = x.transpose(0, 2, 1, 3).reshape(b * e, s, i)
+            y = jnp.matmul(xt, w_e.reshape(b * e, i, n),
+                           preferred_element_type=jnp.float32)
+            return y.reshape(b, e, s, n).transpose(0, 2, 1, 3)
+        n = w_e.shape[-1]  # x (B,S,E,I) . w_e (E,I,D) -> (B,S,E,D)
+        xt = x.transpose(2, 0, 1, 3).reshape(e, b * s, i)
+        y = jnp.matmul(xt, w_e, preferred_element_type=jnp.float32)
+        return y.reshape(e, b, s, n).transpose(1, 2, 0, 3)
+
+    y = contract(w.astype(compute_dtype), batched=False)
+    if delta is not None:
+        from ..ops.packing import unpack_to_pm1
+
+        if tenant_ids is not None:
+            packed = jnp.take(delta.packed, tenant_ids, axis=0)
+            scale = jnp.take(delta.scale, tenant_ids, axis=0)  # (B, E)
+            signs = unpack_to_pm1(packed, compute_dtype)  # (B,E,K,N)
+            yd = contract(signs, batched=True) * scale[:, None, :, None]
+        else:
+            signs = unpack_to_pm1(delta.packed, compute_dtype)  # (E,K,N)
+            yd = contract(signs, batched=False) * delta.scale[:, None]
+        y = y + yd
+    return y.astype(compute_dtype)
+
+
 def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None):
     """Top-k routed SwiGLU: x ``(B, S, D)``; expert weights
     ``w1/w3 (E, D, I)``, ``w2 (E, I, D)``; router ``(D, E)``. With
     ``tenant_ids``, deltas are tenant-stacked ``(T, ...)`` and routed
-    per batch row."""
+    per batch row.
+
+    Evaluation is DENSE over experts (every expert computes, the routed
+    combine masks to top-k) — the static-shape formulation that maps
+    onto TPUs without gather/scatter. At decode this is also
+    bandwidth-optimal: the step is HBM-bound and a multi-tenant batch's
+    union of top-k choices touches essentially every expert anyway, so
+    all E expert weights stream from HBM regardless of routing — skipping
+    the (tiny-M) MXU work for unrouted experts saves no time. Prefill at
+    long S is compute-bound and dense evaluation costs E/top_k x FLOPs —
+    a capacity-based one-hot dispatch path is the known fix if prefill
+    ever dominates (documented tradeoff, not implemented)."""
     b, s, dim = x.shape
     e, topk = cfg.num_experts, cfg.experts_per_token
 
@@ -90,29 +169,14 @@ def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None):
         jnp.arange(b)[:, None, None],
         jnp.arange(s)[None, :, None], topi].set(gates)
 
-    def expert(x_e, w1, w3, w2, d1, d3, d2):
-        h1 = _delta_matmul(x_e, w1, d1, compute_dtype, tenant_ids)
-        h3 = _delta_matmul(x_e, w3, d3, compute_dtype, tenant_ids)
-        h = (jax.nn.silu(h1.astype(jnp.float32)).astype(compute_dtype) * h3)
-        return _delta_matmul(h, w2, d2, compute_dtype, tenant_ids)
-
-    def slice_d(name, i):
-        # Expert axis: packed (E, W, N) single-tenant, (T, E, W, N)
-        # tenant-stacked (after the layer slice).
-        dd = d.get(name)
-        if dd is None:
-            return None
-        if tenant_ids is not None:
-            return BinaryDelta(packed=dd.packed[:, i], scale=dd.scale[:, i])
-        return BinaryDelta(packed=dd.packed[i], scale=dd.scale[i])
-
-    outs = []
-    for i in range(e):  # static unroll over experts (dense evaluation)
-        outs.append(expert(x, p["w1"][i], p["w3"][i], p["w2"][i],
-                           slice_d("w1", i), slice_d("w3", i),
-                           slice_d("w2", i)))
-    stacked = jnp.stack(outs, axis=-2)                    # (B,S,E,D)
-    return jnp.einsum("bsed,bse->bsd", stacked.astype(jnp.float32),
+    h1 = _expert_matmul(x, p["w1"], d.get("w1"), compute_dtype,
+                        tenant_ids)                              # (B,S,E,I)
+    h3 = _expert_matmul(x, p["w3"], d.get("w3"), compute_dtype,
+                        tenant_ids)
+    h = (jax.nn.silu(h1.astype(jnp.float32)).astype(compute_dtype) * h3)
+    out = _expert_matmul(h, p["w2"], d.get("w2"), compute_dtype,
+                         tenant_ids)                             # (B,S,E,D)
+    return jnp.einsum("bsed,bse->bsd", out.astype(jnp.float32),
                       weight).astype(compute_dtype)
 
 
@@ -262,6 +326,37 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
     x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
     logits = _lm_head_logits(params, x, tenant_ids, compute_dtype)
     return logits, KVCache(k=ks, v=vs, length=new_length)
+
+
+def init_params(cfg: MixtralConfig, key: jax.Array,
+                dtype=jnp.float32, scale: float = 0.02):
+    """Random Mixtral pytree (tests/benches; mirrors llama.init_params).
+    Expert stacks ``w1/w3 (L, E, D, I)``, ``w2 (L, E, I, D)``, router
+    ``(L, D, E)``."""
+    keys = iter(jax.random.split(key, 16))
+    n = lambda *shape: (jax.random.normal(next(keys), shape, jnp.float32)
+                        * scale).astype(dtype)
+    L, D, I, E = (cfg.num_layers, cfg.hidden_size, cfg.intermediate_size,
+                  cfg.num_experts)
+    params = {
+        "embed": n(cfg.vocab_size, D),
+        "final_norm": jnp.ones((D,), dtype),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), dtype),
+            "mlp_norm": jnp.ones((L, D), dtype),
+            "q_proj": n(L, D, cfg.q_dim),
+            "k_proj": n(L, D, cfg.kv_dim),
+            "v_proj": n(L, D, cfg.kv_dim),
+            "o_proj": n(L, cfg.q_dim, D),
+            "w1": n(L, E, D, I),
+            "w3": n(L, E, D, I),
+            "w2": n(L, E, I, D),
+            "router": n(L, D, E),
+        },
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = n(D, cfg.vocab_size)
+    return params
 
 
 def compress_mixtral(base_params, finetuned_params):

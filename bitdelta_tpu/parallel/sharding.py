@@ -34,16 +34,37 @@ from ..models.config import ModelConfig
 COLUMN_PARALLEL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
 ROW_PARALLEL = ("o_proj", "down_proj")
 
+# Mixtral expert stacks (models/mixtral.py): Megatron TP *inside* each
+# expert — w1/w3 ``(L, E, D, I)`` shard the intermediate (column-
+# parallel), w2 ``(L, E, I, D)`` contracts the sharded intermediate
+# (row-parallel; GSPMD inserts the one psum per MoE block). This works
+# for any tp <= I regardless of the expert count; the einsum-over-E
+# formulation in mixtral._expert_matmul is what makes the annotations
+# compose. The router ``(L, D, E)`` is tiny — replicate.
+EXPERT_COLUMN_PARALLEL = ("w1", "w3")
+EXPERT_ROW_PARALLEL = ("w2",)
+
 
 def param_specs(cfg: ModelConfig) -> Dict[str, Any]:
     layers = {
         "attn_norm": P(),
         "mlp_norm": P(),
     }
+    moe = bool(getattr(cfg, "num_experts", 0))
     for name in COLUMN_PARALLEL:
+        if moe and name in ("gate_proj", "up_proj"):
+            continue  # Mixtral has expert stacks instead of a dense MLP
         layers[name] = P(None, None, MODEL_AXIS)
     for name in ROW_PARALLEL:
+        if moe and name == "down_proj":
+            continue
         layers[name] = P(None, MODEL_AXIS, None)
+    if moe:
+        for name in EXPERT_COLUMN_PARALLEL:
+            layers[name] = P(None, None, None, MODEL_AXIS)
+        for name in EXPERT_ROW_PARALLEL:
+            layers[name] = P(None, None, MODEL_AXIS, None)
+        layers["router"] = P()
     specs = {
         "embed": P(MODEL_AXIS, None),
         "final_norm": P(),
@@ -75,6 +96,20 @@ def delta_specs(cfg: ModelConfig, tenant_stacked: bool = False,
     for name in ROW_PARALLEL:
         out[name] = BinaryDelta(packed=P(*lead, MODEL_AXIS, None),
                                 scale=P(*lead))
+    if getattr(cfg, "num_experts", 0):
+        # Mixtral expert deltas carry an E axis after the layer/tenant
+        # lead; packed words shard exactly like their expert matrices.
+        # Router deltas (tiny) replicate; scales always replicate.
+        for name in EXPERT_COLUMN_PARALLEL:
+            out[name] = BinaryDelta(
+                packed=P(*lead, None, None, MODEL_AXIS),
+                scale=P(*lead, None))
+        for name in EXPERT_ROW_PARALLEL:
+            out[name] = BinaryDelta(
+                packed=P(*lead, None, MODEL_AXIS, None),
+                scale=P(*lead, None))
+        out["router"] = BinaryDelta(packed=P(*lead, None, None),
+                                    scale=P(*lead))
     elead = (None,) if tenant_stacked else ()
     for name in ("embed", "lm_head"):
         out[name] = BinaryDelta(packed=P(*elead, None, MODEL_AXIS),
@@ -154,6 +189,17 @@ def serving_delta_specs(deltas) -> Dict[str, Any]:
             else:
                 out[name] = BinaryDelta(
                     packed=P(None, None, MODEL_AXIS, None), scale=P())
+        # Mixtral (XLA serving path — never paired): tenant-stacked
+        # expert deltas ``(L, T, E, K//32, N)`` shard like their expert
+        # matrices; the router delta ``(L, T, D//32, E)`` replicates.
+        elif name in EXPERT_COLUMN_PARALLEL:
+            out[name] = BinaryDelta(
+                packed=P(None, None, None, None, MODEL_AXIS), scale=P())
+        elif name in EXPERT_ROW_PARALLEL:
+            out[name] = BinaryDelta(
+                packed=P(None, None, None, MODEL_AXIS, None), scale=P())
+        elif name == "router":
+            out[name] = BinaryDelta(packed=P(), scale=P())
         else:
             raise ValueError(f"no sharding rule for delta {name!r}")
     return out
@@ -166,7 +212,7 @@ def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
     ``(T, V, D)`` shard vocab rows and per-tenant heads ``(T, D, V)``
     shard vocab cols on the model axis (shared 2-D variants — the
     compress_embeddings mode — shard like the single-model specs)."""
-    from ..research.quantized_base import Int8Weight
+    from ..research.quantized_base import Int4Weight, Int8Weight
 
     layers: Dict[str, Any] = {}
     for name, w in params["layers"].items():
@@ -174,13 +220,27 @@ def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
             qspec, sspec = P(None, None, MODEL_AXIS), P(None, MODEL_AXIS)
         elif name in ROW_PARALLEL:
             qspec, sspec = P(None, MODEL_AXIS, None), P()
+        elif name in EXPERT_COLUMN_PARALLEL:  # Mixtral (L, E, D, I)
+            layers[name] = P(None, None, None, MODEL_AXIS)
+            continue
+        elif name in EXPERT_ROW_PARALLEL:     # Mixtral (L, E, I, D)
+            layers[name] = P(None, None, MODEL_AXIS, None)
+            continue
         else:
-            layers[name] = P()  # norms / attention biases: replicate
+            # norms / attention biases / Mixtral router: replicate
+            layers[name] = P()
             continue
         # Int8Weight (W8 base): q shards like the dense matrix; the
-        # per-output-column scale shards with N.
-        layers[name] = (Int8Weight(q=qspec, scale=sspec)
-                        if isinstance(w, Int8Weight) else qspec)
+        # per-output-column scale shards with N. Int4Weight (W4 base):
+        # packed nibbles shard like the dense matrix (K words are
+        # contiguous K rows); the per-(K-group, column) scale shards on
+        # whichever axis the matrix shards (groups are contiguous K).
+        if isinstance(w, Int8Weight):
+            layers[name] = Int8Weight(q=qspec, scale=sspec)
+        elif isinstance(w, Int4Weight):
+            layers[name] = Int4Weight(packed=qspec, scale=qspec)
+        else:
+            layers[name] = qspec
     specs: Dict[str, Any] = {"final_norm": P(), "layers": layers}
     embed = params["embed"]
     specs["embed"] = (P(None, MODEL_AXIS, None) if embed.ndim == 3

@@ -124,10 +124,6 @@ class Engine:
         if kernel == "pallas" and not is_llama:
             raise ValueError("kernel='pallas' is only wired for the llama "
                              "family; use kernel='xla' (or 'auto')")
-        if mesh is not None and not is_llama:
-            raise ValueError(
-                "mesh sharding specs cover the llama family only "
-                "(Mixtral expert-matrix TP is future work); drop mesh=")
         self.kernel = kernel
         self.tp = 1
         if mesh is not None:

@@ -163,3 +163,93 @@ def test_mixtral_multitenant_serving(hf_mixtral):
             ids.append(nxt)
         assert outs[t] == manual
     assert outs[0] != outs[1]
+
+
+# ---------------------------------------------------------------------------
+# TP/DP sharding: Mixtral expert stacks over the fake 8-device mesh
+# (Megatron TP inside each expert — w1/w3 column-parallel on I, w2
+# row-parallel; parallel/sharding.py EXPERT_{COLUMN,ROW}_PARALLEL).
+# ---------------------------------------------------------------------------
+
+def _finetune(base, seed):
+    fine = dict(base)
+    fine["layers"] = dict(base["layers"])
+    key = jax.random.PRNGKey(seed)
+    for name in mx.ATTN_PROJS + mx.EXPERT_MATS + ("router",):
+        key, sub = jax.random.split(key)
+        fine["layers"][name] = base["layers"][name] + (
+            0.05 * jax.random.normal(sub, base["layers"][name].shape))
+    return fine
+
+
+def _tp_world():
+    """TP=2-shardable Mixtral (every sharded axis — intermediate incl.
+    its packed-word K axis, q_dim words, kv heads — divides by 2)."""
+    import dataclasses
+
+    from bitdelta_tpu.models import config as cfgs
+
+    base_cfg = cfgs.tiny_test_config(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2, dtype="float32")
+    cfg = mx.MixtralConfig(
+        **{f.name: getattr(base_cfg, f.name)
+           for f in dataclasses.fields(base_cfg)},
+        num_experts=4, experts_per_token=2)
+    base = mx.init_params(cfg, jax.random.PRNGKey(9), jnp.float32,
+                          scale=0.25)
+    return cfg, base
+
+
+def test_mixtral_sharded_forward_matches_unsharded():
+    from jax.sharding import NamedSharding
+
+    from bitdelta_tpu.parallel import mesh as pmesh
+    from bitdelta_tpu.parallel import sharding as psh
+
+    cfg, base = _tp_world()
+    comp = mx.compress_mixtral(base, _finetune(base, 41))
+    sp = mx.mixtral_student_params(base, comp)
+    toks = jnp.asarray(np.random.default_rng(3).integers(
+        0, 96, (4, 8), dtype=np.int64))
+    ref = np.asarray(mx.forward(cfg, sp, toks, deltas=comp.deltas,
+                                compute_dtype=jnp.float32))
+
+    mesh = pmesh.make_mesh((2, 2), devices=jax.devices()[:4])
+    spd = psh.shard_model(cfg, sp, mesh)
+    sd = psh.shard_deltas(cfg, comp.deltas, mesh)
+    # Expert matrices actually partition on the intermediate axis.
+    w1 = spd["layers"]["w1"]
+    assert w1.sharding.shard_shape(w1.shape) == (
+        cfg.num_layers, cfg.num_experts, cfg.hidden_size,
+        cfg.intermediate_size // 2)
+    toks_sh = jax.device_put(toks, NamedSharding(mesh, psh.batch_spec()))
+    out = jax.jit(lambda p, d, t: mx.forward(
+        cfg, p, t, deltas=d, compute_dtype=jnp.float32))(spd, sd, toks_sh)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_mixtral_mesh_engine_matches_single_device():
+    """Engine(mesh=..., model=mixtral): GSPMD-sharded multi-tenant MoE
+    serving must greedy-match the single-device engine exactly."""
+    from bitdelta_tpu.parallel import mesh as pmesh
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import stack_tenants
+
+    cfg, base = _tp_world()
+    tenants = [mx.compress_mixtral(base, _finetune(base, 700 + t))
+               for t in range(2)]
+    stack = stack_tenants(cfg, base, tenants)
+
+    def run(mesh):
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla", model=mx,
+                     mesh=mesh, compute_dtype=jnp.float32)
+        return eng.generate(
+            [Request(prompt_ids=[5, 11, 3, 7], tenant_id=t,
+                     max_new_tokens=5) for t in range(2)])
+
+    want = run(None)
+    got = run(pmesh.make_mesh((2, 2), devices=jax.devices()[:4]))
+    assert got == want
+    assert want[0] != want[1]
