@@ -480,11 +480,14 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
         attn = flash_decode_attention(
             q[:, 0], k_all, v_all, q_positions[:, 0] + 1,
             window=cfg.sliding_window)[:, None, :, :].reshape(b, sq, -1)
-    elif (kernel == "pallas" and lengths is not None and sq > 1
-          and sq % 8 == 0 and k_all.shape[1] % 8 == 0):
+    elif (kernel in ("pallas", "pallas_train") and lengths is not None
+          and sq > 1 and sq % 8 == 0 and k_all.shape[1] % 8 == 0):
         # Fresh-sequence prefill (queries at positions 0..sq-1): blockwise
         # online-softmax kernel — never materializes the (B,H,Sq,Sk)
-        # score tensor the XLA path below builds.
+        # score tensor the XLA path below builds. Differentiable (custom
+        # VJP with blockwise-recompute backward), so "pallas_train"
+        # distillation uses it too — at calibration lengths >= 512 the
+        # XLA attention backward would materialize GB-scale scores.
         from ..ops.flash_prefill import flash_prefill_attention
 
         attn = flash_prefill_attention(q, k_all, v_all, lengths,

@@ -25,9 +25,14 @@ head's columns out of the VMEM block; the G query heads sharing a KV
 head stack on the sublane axis, so softmax state is one ``(H*bq, ...)``
 tile and every update is fully vectorized.
 
-Inference-only: no custom VJP (scale distillation uses the
-differentiable "pallas_train" mode which keeps XLA attention; see
-models/llama.py::_layer_fwd and train/distill.py).
+Differentiable: a custom VJP pairs the Pallas forward with a blockwise-
+*recompute* backward (below) — the backward walks query blocks, rebuilds
+each block's softmax rows from (q, k, v) and accumulates dq/dk/dv, so
+nothing bigger than a ``(B, H, bq, Sk)`` tile exists at once and no
+softmax state is saved from the forward. This is what lets
+``kernel="pallas"`` distillation run at calibration lengths where the
+XLA attention backward materializes multi-GB score tensors
+(models/llama.py::_layer_fwd, train/distill.py).
 
 The reference has no attention kernel (HF eager attention inherits the
 O(S^2) materialization; SURVEY.md section 5.7).
@@ -155,27 +160,10 @@ def _flash_prefill_kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
             o_ref[0, h, i] = out[j * bq:(j + 1) * bq].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("window", "block_q", "block_k",
-                                    "interpret"))
-def flash_prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                            lengths: jax.Array, *,
-                            window: int | None = None,
-                            block_q: int | None = None,
-                            block_k: int | None = None,
-                            interpret: bool = False) -> jax.Array:
-    """Causal attention for a fresh right-padded sequence batch.
-
-    Args:
-      q: ``(B, Sq, H, hd)`` queries at positions ``0..Sq-1`` (RoPE done).
-      k, v: ``(B, Sk, KV, hd)`` with ``Sk >= Sq`` (the serving prefill
-        writes into a cache padded to ``max_seq``); keys live at
-        positions ``0..lengths[b]-1``.
-      lengths: ``(B,)`` int32 valid token counts.
-      window: Mistral sliding-window size.
-
-    Returns ``(B, Sq, H * hd)`` in q's dtype.
-    """
+def _flash_prefill_impl(q: jax.Array, k: jax.Array, v: jax.Array,
+                        lengths: jax.Array, window, block_q, block_k,
+                        interpret) -> jax.Array:
+    """The Pallas forward (see :func:`flash_prefill_attention`)."""
     bsz, sq, nheads, hd = q.shape
     _, sk, n_kv, hdk = k.shape
     assert hdk == hd and k.shape == v.shape and sk >= sq
@@ -237,3 +225,126 @@ def flash_prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     )(lengths, qr, kr, vr)
     # (B, KV, G, Sq, hd) -> (B, Sq, H*hd)
     return out.transpose(0, 3, 1, 2, 4).reshape(bsz, sq, nheads * hd)
+
+
+def _blockwise_backward(q, k, v, lengths, g, window, bq):
+    """Attention backward by query-block recompute (pure XLA).
+
+    Rebuilds each query block's masked softmax rows from (q, k, v) —
+    nothing from the forward is saved but the primals — and applies the
+    standard attention backward per block:
+
+      dv += p^T g;  dp = g v^T;  ds = p (dp - rowsum(dp p));
+      dq = ds k * scale;  dk += ds^T q * scale.
+
+    Peak intermediate is one ``(B, H, bq, Sk)`` f32 tile (p/ds); dk/dv
+    accumulate across blocks in the scan carry. Masked positions have
+    p == 0 => ds == 0, so padding/causal/window grads are exactly zero.
+    """
+    bsz, sq, nh, hd = q.shape
+    _, sk, n_kv, _ = k.shape
+    gq = nh // n_kv
+    sm_scale = 1.0 / math.sqrt(hd)
+    nq = sq // bq
+
+    qf = q.astype(jnp.float32).reshape(bsz, nq, bq, n_kv, gq, hd)
+    gf = g.astype(jnp.float32).reshape(bsz, nq, bq, n_kv, gq, hd)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    kpos = jnp.arange(sk)[None, :]                        # (1, Sk)
+    klive = kpos < lengths[:, None]                       # (B, Sk)
+
+    def step(carry, inp):
+        dk, dv = carry
+        xq, xg, qi = inp          # (B, bq, KV, G, hd) x2, block index
+        qpos = qi * bq + jnp.arange(bq)                   # (bq,)
+        valid = (kpos[:, None, :] <= qpos[None, :, None]) \
+            & klive[:, None, :] \
+            & (qpos[None, :, None] < lengths[:, None, None])
+        if window is not None:
+            valid &= kpos[:, None, :] > qpos[None, :, None] - window
+        vmask = valid[:, None, None]                      # (B,1,1,bq,Sk)
+
+        scores = jnp.einsum("bqkgd,bskd->bkgqs", xq, kf,
+                            preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(vmask, scores, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.where(vmask, jnp.exp(s - jnp.maximum(m, _NEG_INF)), 0.0)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        p = p / jnp.where(l > 0, l, 1.0)                  # (B,KV,G,bq,Sk)
+
+        xg_t = xg.transpose(0, 2, 3, 1, 4)                # (B,KV,G,bq,hd)
+        dv = dv + jnp.einsum("bkgqs,bkgqd->bskd", p, xg_t,
+                             preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bkgqd,bskd->bkgqs", xg_t, vf,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_blk = jnp.einsum("bkgqs,bskd->bkgqd", ds, kf,
+                            preferred_element_type=jnp.float32) * sm_scale
+        dk = dk + jnp.einsum("bkgqs,bqkgd->bskd", ds, xq,
+                             preferred_element_type=jnp.float32) * sm_scale
+        return (dk, dv), dq_blk.transpose(0, 3, 1, 2, 4)  # (B,bq,KV,G,hd)
+
+    zeros_kv = jnp.zeros((bsz, sk, n_kv, hd), jnp.float32)
+    (dk, dv), dq = jax.lax.scan(
+        step, (zeros_kv, zeros_kv),
+        (qf.transpose(1, 0, 2, 3, 4, 5), gf.transpose(1, 0, 2, 3, 4, 5),
+         jnp.arange(nq)))
+    dq = dq.transpose(1, 0, 2, 3, 4, 5).reshape(bsz, sq, nh, hd)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_prefill(q, k, v, lengths, window, block_q, block_k, interpret):
+    return _flash_prefill_impl(q, k, v, lengths, window, block_q,
+                               block_k, interpret)
+
+
+def _flash_prefill_fwd(q, k, v, lengths, window, block_q, block_k,
+                       interpret):
+    out = _flash_prefill_impl(q, k, v, lengths, window, block_q,
+                              block_k, interpret)
+    return out, (q, k, v, lengths)
+
+
+def _flash_prefill_bwd(window, block_q, block_k, interpret, res, g):
+    import numpy as np
+
+    q, k, v, lengths = res
+    sq = q.shape[1]
+    bq = block_q or _pick(sq, (128, 64, 32, 16, 8, sq))
+    gr = g.reshape(q.shape)
+    dq, dk, dv = _blockwise_backward(q, k, v, lengths, gr, window, bq)
+    # lengths is integral: its cotangent is float0 by JAX convention.
+    return dq, dk, dv, np.zeros(lengths.shape, jax.dtypes.float0)
+
+
+_flash_prefill.defvjp(_flash_prefill_fwd, _flash_prefill_bwd)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "block_q", "block_k",
+                                    "interpret"))
+def flash_prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                            lengths: jax.Array, *,
+                            window: int | None = None,
+                            block_q: int | None = None,
+                            block_k: int | None = None,
+                            interpret: bool = False) -> jax.Array:
+    """Causal attention for a fresh right-padded sequence batch.
+
+    Args:
+      q: ``(B, Sq, H, hd)`` queries at positions ``0..Sq-1`` (RoPE done).
+      k, v: ``(B, Sk, KV, hd)`` with ``Sk >= Sq`` (the serving prefill
+        writes into a cache padded to ``max_seq``); keys live at
+        positions ``0..lengths[b]-1``.
+      lengths: ``(B,)`` int32 valid token counts.
+      window: Mistral sliding-window size.
+
+    Differentiable w.r.t. q/k/v via the blockwise-recompute backward
+    (:func:`_blockwise_backward`).
+
+    Returns ``(B, Sq, H * hd)`` in q's dtype.
+    """
+    return _flash_prefill(q, k, v, lengths, window, block_q, block_k,
+                          interpret)

@@ -115,3 +115,43 @@ def test_forward_dispatch_matches_xla():
     live = np.arange(32)[None, :] < np.asarray(lengths)[:, None]
     np.testing.assert_allclose(np.asarray(got)[live], np.asarray(want)[live],
                                atol=1e-4, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Differentiability: blockwise-recompute backward vs XLA attention grads
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("window", [None, 24])
+def test_grads_match_xla_attention(window):
+    """jax.grad through the flash kernel (custom VJP, interpret-mode
+    forward) must match grads through the XLA attention reference for
+    q, k and v — including zero grads in padding/causal/window-masked
+    positions."""
+    b, sq, kvh, g, hd = 2, 32, 2, 2, 16
+    h = kvh * g
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv_, kw = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, sq, h, hd), jnp.float32)
+    k = jax.random.normal(kk, (b, sq, kvh, hd), jnp.float32)
+    v = jax.random.normal(kv_, (b, sq, kvh, hd), jnp.float32)
+    lengths = jnp.asarray([32, 19], jnp.int32)
+    # A fixed random cotangent direction makes the check cover every
+    # output element (a plain sum would mask sign errors that cancel).
+    cot = jax.random.normal(kw, (b, sq, h * hd), jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = flash_prefill_attention(q, k, v, lengths, window=window,
+                                      block_q=8, block_k=8,
+                                      interpret=True)
+        return jnp.sum(out * cot)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference(q, k, v, lengths, window) * cot)
+
+    got = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gg, ww, name in zip(got, want, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(gg), np.asarray(ww),
+                                   atol=3e-5, rtol=3e-5, err_msg=name)
+    # Padding rows of q really get zero grad.
+    assert np.all(np.asarray(got[0])[1, 19:] == 0)
