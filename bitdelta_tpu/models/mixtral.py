@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from .config import ModelConfig
 from .llama import (KVCache, _attention, _embed_lookup, _final_norm_w,
-                    _lm_head_logits, apply_rope, rms_norm, rope_tables)
+                    _lm_head_logits, _proj, apply_rope, rms_norm,
+                    rope_tables)
 from ..core.delta import BinaryDelta, quantize_delta
 from ..ops.binary_matmul import binary_matmul, tenant_binary_matmul
 
@@ -182,10 +183,17 @@ def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None):
 
 def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
            positions, kv_valid, cos, sin,
-           cache_k=None, cache_v=None, write_pos=None, tenant_ids=None):
+           cache_k=None, cache_v=None, write_pos=None, tenant_ids=None,
+           kernel: str = "xla"):
     """One Mixtral block. With cache_k/v given, new K/V are scattered at
     ``write_pos`` per row and attention runs over the whole cache (same
-    protocol as llama._layer_fwd). Returns (x, cache_k, cache_v)."""
+    protocol as llama._layer_fwd). Returns (x, cache_k, cache_v).
+
+    ``kernel="pallas"``: the four ATTENTION projections dispatch through
+    llama's ``_proj`` (pair-packed / bit-plane VPU delta kernels on
+    decode shapes — the same hot path llama serving uses); the expert
+    matmuls and router stay on the vectorized XLA lowering (a Pallas
+    expert kernel would have to route the E axis in-kernel — unbuilt)."""
     b, sq, _ = x.shape
 
     def norm_w(w):
@@ -194,13 +202,14 @@ def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
             return w[tenant_ids]
         return w
 
+    def attn_proj(xx, name):
+        return _proj(xx, p[name], d.get(name), tenant_ids, compute_dtype,
+                     kernel=kernel)
+
     h = rms_norm(x, norm_w(p["attn_norm"]), cfg.rms_norm_eps)
-    q = _delta_matmul(h, p["q_proj"], d.get("q_proj"), compute_dtype,
-                      tenant_ids)
-    k = _delta_matmul(h, p["k_proj"], d.get("k_proj"), compute_dtype,
-                      tenant_ids)
-    v = _delta_matmul(h, p["v_proj"], d.get("v_proj"), compute_dtype,
-                      tenant_ids)
+    q = attn_proj(h, "q_proj")
+    k = attn_proj(h, "k_proj")
+    v = attn_proj(h, "v_proj")
     q = apply_rope(q.reshape(b, sq, cfg.num_heads, cfg.head_dim), cos, sin)
     k = apply_rope(k.reshape(b, sq, cfg.num_kv_heads, cfg.head_dim),
                    cos, sin)
@@ -216,8 +225,7 @@ def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
         k_all, v_all = k, v
 
     attn = _attention(cfg, q, k_all, v_all, positions, kv_valid)
-    x = x + _delta_matmul(attn, p["o_proj"], d.get("o_proj"), compute_dtype,
-                          tenant_ids)
+    x = x + attn_proj(attn, "o_proj")
     h = rms_norm(x, norm_w(p["mlp_norm"]), cfg.rms_norm_eps)
     x = x + _moe_ffn(cfg, compute_dtype, h, p, d, tenant_ids)
     return x, cache_k, cache_v
@@ -235,9 +243,9 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
     with leaves stacked ``(L, ...)`` (experts keep their E axis; with
     ``tenant_ids`` a tenant axis follows the layer axis, multi-tenant
     serving like llama.forward). ``return_cache``: also return a KVCache
-    for generation (prefill). ``kernel`` is accepted for engine
-    compatibility; Mixtral currently always uses the XLA lowering."""
-    del kernel
+    for generation (prefill). ``kernel``: "pallas"/"pallas_train" route
+    the attention projections through llama's kernel dispatch (see
+    :func:`_layer`); experts/router always use the XLA lowering."""
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
     b, s = tokens.shape
     if lengths is None:
@@ -259,7 +267,7 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
             p, d = xs if deltas is not None else (xs, {})
             x, _, _ = _layer(cfg, compute_dtype, x, p, d,
                              positions, kv_valid, cos, sin,
-                             tenant_ids=tenant_ids)
+                             tenant_ids=tenant_ids, kernel=kernel)
             return x, None
 
         x, _ = jax.lax.scan(body, x, layer_xs)
@@ -275,7 +283,7 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
                                positions, kv_valid, cos, sin,
                                cache_k=cache0, cache_v=cache0,
                                write_pos=jnp.zeros((b,), jnp.int32),
-                               tenant_ids=tenant_ids)
+                               tenant_ids=tenant_ids, kernel=kernel)
             return x, (ck, cv)
 
         x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)
@@ -295,8 +303,8 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
     """Single-token Mixtral decode: tokens ``(B, 1)`` appended at each
     row's current length. Returns ``(logits (B, 1, V), new_cache)``.
     Mirrors llama.decode_step (incl. tenant routing); MoE routing runs
-    per decoded token. ``kernel`` accepted for engine compatibility."""
-    del kernel
+    per decoded token. ``kernel="pallas"``: attention projections run
+    the VPU delta kernels (llama's decode hot path); experts stay XLA."""
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
     b, sq = tokens.shape
     positions = cache.length[:, None] + jnp.arange(sq)[None, :]
@@ -319,7 +327,7 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
         x, ck, cv = _layer(cfg, compute_dtype, x, p, d,
                            positions, kv_valid, cos, sin,
                            cache_k=ck, cache_v=cv, write_pos=cache.length,
-                           tenant_ids=tenant_ids)
+                           tenant_ids=tenant_ids, kernel=kernel)
         return x, (ck, cv)
 
     x, (ks, vs) = jax.lax.scan(body, x, layer_xs)

@@ -149,10 +149,14 @@ def to_pair_layout(stack: TenantStack, tp: int = 1) -> TenantStack:
     deltas = {}
     for name, d in stack.deltas.items():
         # "embed" is consumed by gather (one packed column per token),
-        # not by the matmul kernels — it stays canonical. Already-paired
-        # leaves (pre-converted stacks, e.g. built directly in serving
-        # layout to halve peak memory) pass through.
-        if name == "embed" or hasattr(d, "packed_pairs"):
+        # not by the matmul kernels — it stays canonical. Mixtral expert
+        # stacks and the router stay canonical too: the vectorized XLA
+        # expert path consumes BinaryDelta (only the attention
+        # projections ride the pair kernels). Already-paired leaves
+        # (pre-converted stacks, e.g. built directly in serving layout
+        # to halve peak memory) pass through.
+        if (name in ("embed", "w1", "w3", "w2", "router")
+                or hasattr(d, "packed_pairs")):
             deltas[name] = d
             continue
         k32, n = d.packed.shape[-2], d.packed.shape[-1]

@@ -253,3 +253,31 @@ def test_mixtral_mesh_engine_matches_single_device():
     got = run(pmesh.make_mesh((2, 2), devices=jax.devices()[:4]))
     assert got == want
     assert want[0] != want[1]
+
+
+def test_mixtral_pallas_engine_matches_xla(hf_mixtral):
+    """Single-device kernel='pallas' Mixtral serving (attention
+    projections through the VPU delta kernels, experts on XLA) must
+    greedy-match the XLA engine exactly (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import stack_tenants
+
+    hf_cfg, model = hf_mixtral
+    cfg = mx.MixtralConfig.from_hf_config(hf_cfg)
+    base = mx.params_from_torch_mixtral(cfg, model, jnp.float32)
+    tenants = [mx.compress_mixtral(base, _finetune(base, 900 + t))
+               for t in range(2)]
+    stack = stack_tenants(cfg, base, tenants)
+    reqs = lambda: [Request(prompt_ids=[5, 11, 3, 7], tenant_id=t,
+                            max_new_tokens=4) for t in range(2)]
+
+    want = Engine(cfg, stack, max_slots=2, max_seq=64,
+                  prefill_buckets=(16,), kernel="xla", model=mx,
+                  compute_dtype=jnp.float32).generate(reqs())
+    with pltpu.force_tpu_interpret_mode():
+        got = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="pallas", model=mx,
+                     compute_dtype=jnp.float32).generate(reqs())
+    assert got == want
