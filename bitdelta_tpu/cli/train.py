@@ -50,8 +50,7 @@ def main(argv=None):
     model_mod = resolve_model_module(cfg)
     is_mixtral = model_mod is not llama
     if is_mixtral:
-        for flag in ("compress_embeddings", "quantize_base",
-                     "save_full_model"):
+        for flag in ("quantize_base", "save_full_model"):
             if getattr(args, flag):
                 raise SystemExit(f"--{flag} is not supported for Mixtral")
 
@@ -81,8 +80,9 @@ def main(argv=None):
             f.write(f"corr,stddev\n{stats['corr']},{stats['stddev']}\n")
 
     print("compressing diff...", flush=True)
-    if is_mixtral:  # attn + experts + router deltas
-        comp = model_mod.compress_mixtral(base, fine)
+    if is_mixtral:  # attn + experts + router (+ embed/head) deltas
+        comp = model_mod.compress_mixtral(
+            base, fine, compress_embeddings=args.compress_embeddings)
     else:
         comp = compress_model(base, fine,
                               compress_embeddings=args.compress_embeddings)

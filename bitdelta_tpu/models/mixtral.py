@@ -57,6 +57,16 @@ EXPERT_MATS = ("w1", "w3", "w2")  # gate, up, down (HF mixtral naming)
 MOE_PARTS = ATTN_PROJS + EXPERT_MATS + ("router",)
 
 
+def _split_deltas(deltas):
+    """Layer-scanned deltas (attn/experts/router) vs the embed/lm_head
+    deltas applied outside the scan (compress_embeddings mode; mirrors
+    llama._split_deltas)."""
+    if deltas is None:
+        return None, None, None
+    layer = {k: v for k, v in deltas.items() if k in MOE_PARTS}
+    return (layer or None), deltas.get("embed"), deltas.get("lm_head")
+
+
 def _delta_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
                   tenant_ids=None):
     y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
@@ -251,7 +261,9 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
     if lengths is None:
         lengths = jnp.full((b,), s, jnp.int32)
 
-    x = _embed_lookup(params, tokens, tenant_ids).astype(compute_dtype)
+    deltas, embed_delta, head_delta = _split_deltas(deltas)
+    x = _embed_lookup(params, tokens, tenant_ids,
+                      embed_delta).astype(compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
                            cfg.rope_scaling)
@@ -289,7 +301,9 @@ def forward(cfg: MixtralConfig, params: Dict[str, Any], tokens: jax.Array, *,
         x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)
 
     x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
-    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype)
+    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype,
+                             kernel=kernel, head_delta=head_delta,
+                             embed_delta=embed_delta)
     if not return_cache:
         return logits
     return logits, KVCache(k=ks, v=vs, length=lengths)
@@ -313,7 +327,9 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
                            cfg.rope_scaling)
 
-    x = _embed_lookup(params, tokens, tenant_ids).astype(compute_dtype)
+    deltas, embed_delta, head_delta = _split_deltas(deltas)
+    x = _embed_lookup(params, tokens, tenant_ids,
+                      embed_delta).astype(compute_dtype)
     layer_xs = (params["layers"], cache.k, cache.v)
     if deltas is not None:
         layer_xs = (params["layers"], deltas, cache.k, cache.v)
@@ -332,7 +348,9 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
 
     x, (ks, vs) = jax.lax.scan(body, x, layer_xs)
     x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
-    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype)
+    logits = _lm_head_logits(params, x, tenant_ids, compute_dtype,
+                             kernel=kernel, head_delta=head_delta,
+                             embed_delta=embed_delta)
     return logits, KVCache(k=ks, v=vs, length=new_length)
 
 
@@ -367,9 +385,13 @@ def init_params(cfg: MixtralConfig, key: jax.Array,
     return params
 
 
-def compress_mixtral(base_params, finetuned_params):
+def compress_mixtral(base_params, finetuned_params, *,
+                     compress_embeddings: bool = False):
     """1-bit fine-tune delta for every attention proj, expert matrix and
-    the router; extras = embeddings/norms/head (fine-tuned values)."""
+    the router; extras = embeddings/norms/head (fine-tuned values).
+    ``compress_embeddings=True``: embed/lm_head become 1-bit deltas
+    against the base (packed along D), exactly like llama's
+    compress_model — the per-tenant dense (V, D) tensors disappear."""
     from ..core.compress import CompressedModel
 
     deltas = {}
@@ -377,13 +399,28 @@ def compress_mixtral(base_params, finetuned_params):
         deltas[name] = quantize_delta(base_params["layers"][name],
                                       finetuned_params["layers"][name])
     extras = {
-        "embed": finetuned_params["embed"],
         "final_norm": finetuned_params["final_norm"],
         "attn_norm": finetuned_params["layers"]["attn_norm"],
         "mlp_norm": finetuned_params["layers"]["mlp_norm"],
     }
-    if "lm_head" in finetuned_params:
-        extras["lm_head"] = finetuned_params["lm_head"]
+    if compress_embeddings:
+        if finetuned_params["embed"].shape != base_params["embed"].shape:
+            raise ValueError(
+                "compress_embeddings requires the fine-tune to share the "
+                f"base vocab/hidden: {finetuned_params['embed'].shape} != "
+                f"{base_params['embed'].shape}")
+        if ("lm_head" in finetuned_params) != ("lm_head" in base_params):
+            raise ValueError("base and fine-tune disagree on tied lm_head")
+        deltas["embed"] = quantize_delta(
+            jnp.swapaxes(base_params["embed"], -1, -2),
+            jnp.swapaxes(finetuned_params["embed"], -1, -2))
+        if "lm_head" in finetuned_params:
+            deltas["lm_head"] = quantize_delta(base_params["lm_head"],
+                                               finetuned_params["lm_head"])
+    else:
+        extras["embed"] = finetuned_params["embed"]
+        if "lm_head" in finetuned_params:
+            extras["lm_head"] = finetuned_params["lm_head"]
     return CompressedModel(deltas=deltas, extras=extras)
 
 
@@ -391,12 +428,17 @@ def mixtral_student_params(base_params, compressed):
     params = dict(base_params)
     params["layers"] = dict(base_params["layers"])
     ex = compressed.extras
-    params["embed"] = ex["embed"]
     params["final_norm"] = ex["final_norm"]
     params["layers"]["attn_norm"] = ex["attn_norm"]
     params["layers"]["mlp_norm"] = ex["mlp_norm"]
-    if "lm_head" in ex:
-        params["lm_head"] = ex["lm_head"]
+    if "embed" in ex:
+        params["embed"] = ex["embed"]
+        if "lm_head" in ex:
+            params["lm_head"] = ex["lm_head"]
+        elif "lm_head" in params:
+            del params["lm_head"]
+    # else: compress_embeddings — base embed/lm_head stay; the deltas
+    # dict's "embed"/"lm_head" entries ride on top in the forward.
     return params
 
 

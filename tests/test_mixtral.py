@@ -281,3 +281,61 @@ def test_mixtral_pallas_engine_matches_xla(hf_mixtral):
                      prefill_buckets=(16,), kernel="pallas", model=mx,
                      compute_dtype=jnp.float32).generate(reqs())
     assert got == want
+
+
+def test_mixtral_compressed_embeddings_serving(hf_mixtral):
+    """compress_embeddings for Mixtral: embed/lm_head become 1-bit
+    deltas against the base (no per-tenant dense (V, D) tensors), and
+    the engine's greedy decode matches manual full-forward generation
+    through the same deltas."""
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import stack_nbytes, stack_tenants
+
+    hf_cfg, model = hf_mixtral
+    cfg = mx.MixtralConfig.from_hf_config(hf_cfg)
+    base = mx.params_from_torch_mixtral(cfg, model, jnp.float32)
+
+    tenants = []
+    for t in range(2):
+        fine = _finetune(base, 800 + t)
+        key = jax.random.PRNGKey(850 + t)
+        k1, k2 = jax.random.split(key)
+        fine["embed"] = base["embed"] + 0.02 * jax.random.normal(
+            k1, base["embed"].shape)
+        fine["lm_head"] = base["lm_head"] + 0.02 * jax.random.normal(
+            k2, base["lm_head"].shape)
+        tenants.append(mx.compress_mixtral(base, fine,
+                                           compress_embeddings=True))
+    assert "embed" in tenants[0].deltas and "lm_head" in tenants[0].deltas
+    assert "embed" not in tenants[0].extras
+
+    stack = stack_tenants(cfg, base, tenants)
+    # Shared base embed (2-D), not per-tenant stacked.
+    assert stack.params["embed"].ndim == 2
+    nb = stack_nbytes(stack)
+
+    dense_tenants = [mx.compress_mixtral(
+        base, dict(_finetune(base, 800 + t),
+                   embed=base["embed"], lm_head=base["lm_head"]))
+        for t in range(2)]
+    nb_dense = stack_nbytes(stack_tenants(cfg, base, dense_tenants))
+    assert nb["tenant_extras_bytes"] < 0.3 * nb_dense["tenant_extras_bytes"]
+
+    eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla", model=mx,
+                 compute_dtype=jnp.float32)
+    prompt = [5, 11, 3, 7]
+    outs = eng.generate([Request(prompt_ids=prompt, tenant_id=t,
+                                 max_new_tokens=5) for t in range(2)])
+    for t in range(2):
+        sp = mx.mixtral_student_params(base, tenants[t])
+        ids, manual = list(prompt), []
+        for _ in range(5):
+            logits = mx.forward(cfg, sp, jnp.asarray([ids]),
+                                deltas=tenants[t].deltas,
+                                compute_dtype=jnp.float32)
+            nxt = int(jnp.argmax(logits[0, -1]))
+            manual.append(nxt)
+            ids.append(nxt)
+        assert outs[t] == manual, f"tenant {t}"
+    assert outs[0] != outs[1]
