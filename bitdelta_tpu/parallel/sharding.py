@@ -233,12 +233,16 @@ def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
         # Int8Weight (W8 base): q shards like the dense matrix; the
         # per-output-column scale shards with N. Int4Weight (W4 base):
         # packed nibbles shard like the dense matrix (K words are
-        # contiguous K rows); the per-(K-group, column) scale shards on
-        # whichever axis the matrix shards (groups are contiguous K).
+        # contiguous K rows); the per-(K-group, column) scale shards
+        # with N for column-parallel and REPLICATES for row-parallel —
+        # the grouped-K axis (K/128 entries) may not divide the model
+        # axis, and at 7B shapes the row-parallel scales total ~75 MB.
         if isinstance(w, Int8Weight):
             layers[name] = Int8Weight(q=qspec, scale=sspec)
         elif isinstance(w, Int4Weight):
-            layers[name] = Int4Weight(packed=qspec, scale=qspec)
+            i4_sspec = (P(None, None, MODEL_AXIS)
+                        if name in COLUMN_PARALLEL else P())
+            layers[name] = Int4Weight(packed=qspec, scale=i4_sspec)
         else:
             layers[name] = qspec
     specs: Dict[str, Any] = {"final_norm": P(), "layers": layers}

@@ -340,3 +340,30 @@ def test_w4_plus_w1_ppl_beats_w4_alone():
     ppl_w4d = eval_ppl(cfg, fuse_compressed(deq, comp), toks, **kw)
     # delta recovers most of the fine-tune's behavior on its own corpus
     assert abs(ppl_w4d - ppl_fine) < abs(ppl_w4 - ppl_fine)
+
+
+def test_w4_base_mesh_serving_matches_single_device():
+    """Int4Weight leaves shard over the (data, model) mesh (packed
+    nibbles like the dense matrix, grouped scales alongside) — W4-base
+    mesh serving must greedy-match the single-device engine."""
+    from bitdelta_tpu.parallel import mesh as pmesh
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import stack_tenants
+
+    cfg, dense, qbase, deq, tenants = _w4_world()
+    comp = [c for _, c in tenants]
+    stack = stack_tenants(cfg, qbase, comp)
+
+    def run(mesh):
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla", mesh=mesh,
+                     compute_dtype=jnp.float32)
+        return eng.generate(
+            [Request(prompt_ids=[3, 9, 4], tenant_id=t, max_new_tokens=6)
+             for t in range(2)])
+
+    want = run(None)
+    import jax
+
+    got = run(pmesh.make_mesh((2, 2), devices=jax.devices()[:4]))
+    assert got == want
