@@ -177,6 +177,7 @@ class Engine:
         self._last_tokens = np.zeros((max_slots,), np.int32)
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
+        self._cancelled: set = set()  # rids cancelled mid-prefill
         self._prefill_fns: Dict[int, callable] = {}
         self._chunk_fns: Dict[int, callable] = {}
         self.warmed: Dict[str, list] = {"prefill": [], "decode": []}
@@ -376,6 +377,27 @@ class Engine:
         return [i for i, s in enumerate(self.slots)
                 if not s.active and not s.reserved]
 
+    def cancel(self, request_id: Optional[str]) -> bool:
+        """Stop generating for ``request_id`` and free its slot (the
+        client disconnected — without this, an abandoned stream keeps
+        burning decode lanes to max_new_tokens). A request whose prefill
+        is still in flight is cancelled at admission completion.
+        Returns True if anything was (or will be) cancelled."""
+        if request_id is None:
+            return False
+        with self._lock:
+            for st in self.slots:
+                if (st.active and st.request is not None
+                        and st.request.request_id == request_id):
+                    st.active = False
+                    return True
+            for st in self.slots:
+                if (st.reserved and st.request is not None
+                        and st.request.request_id == request_id):
+                    self._cancelled.add(request_id)
+                    return True
+        return False
+
     def submit(self, req: Request) -> int:
         """Admit a request: prefill its prompt into a free slot. Returns
         the slot index. Raises RuntimeError when full.
@@ -400,6 +422,8 @@ class Engine:
                 raise RuntimeError("engine full")
             slot = self._pick_slot(free, req.tenant_id)
             self.slots[slot].reserved = True
+            # Visible to cancel() while the prefill is in flight.
+            self.slots[slot].request = req
         try:
             self._admit(slot, req)
         finally:
@@ -448,6 +472,12 @@ class Engine:
             first = int(jnp.argmax(last_logits))
         req.first_token = first
         with self._lock:
+            if (req.request_id is not None
+                    and req.request_id in self._cancelled):
+                # Client vanished while the prefill ran: never activate.
+                self._cancelled.discard(req.request_id)
+                self.slots[slot].request = None
+                return
             # The insert donates the live cache buffer — must not race a
             # decode step (which also consumes/donates it).
             self.cache = self._insert(self.cache, rowcache.k, rowcache.v,

@@ -265,12 +265,15 @@ class ServingApp:
                 if ev.finished:
                     del rid_to_i[ev.request_id]
         finally:
-            # Client gone mid-stream: stop routing events (generation
-            # still runs to completion in the engine, as before).
+            # Client gone mid-stream: stop routing events AND cancel the
+            # engine work — an abandoned stream must not keep burning
+            # decode lanes to max_new_tokens.
             if rid_to_i:
                 with self._mu:
                     for rid in rid_to_i:
                         self._queues.pop(rid, None)
+                for rid in rid_to_i:
+                    eng.cancel(rid)
 
 
 def make_http_server(app: ServingApp, host: str = "0.0.0.0",

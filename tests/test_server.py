@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from bitdelta_tpu.serving.engine import Engine
+from bitdelta_tpu.serving.engine import Engine, Request
 from bitdelta_tpu.serving.server import (ByteTokenizer, ServingApp,
                                          TenantInfo, make_http_server)
 
@@ -256,3 +256,87 @@ def test_engine_warmup_compiles_buckets():
         [Request(prompt_ids=[3, 14, 15, 9], tenant_id=0,
                  max_new_tokens=5)])[0]
     assert out == ref
+
+
+# ---------------------------------------------------------------------------
+# Request cancellation (client disconnect must free decode lanes)
+# ---------------------------------------------------------------------------
+
+def test_cancel_active_request_frees_slot():
+    from tests.test_serving import _make_world
+
+    cfg, base, tenants, stack = _make_world(num_tenants=2)
+    eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla")
+    slot = eng.submit(Request(prompt_ids=[3, 4, 5], tenant_id=0,
+                              max_new_tokens=1000, request_id="r1"))
+    eng.step()
+    assert eng.slots[slot].active
+    assert eng.cancel("r1") is True
+    assert not eng.slots[slot].active
+    assert slot in eng.free_slots()
+    assert eng.step() == []          # nothing left to decode
+    assert eng.cancel("r1") is False  # idempotent / unknown rid
+    assert eng.cancel(None) is False
+
+
+def test_cancel_mid_prefill_never_activates():
+    import threading
+    from tests.test_serving import _make_world
+
+    cfg, base, tenants, stack = _make_world(num_tenants=2)
+    eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla")
+
+    started, release = threading.Event(), threading.Event()
+    real_prefill_jit = eng._prefill_jit
+
+    def slow_prefill_jit(bucket):
+        fn = real_prefill_jit(bucket)
+
+        def wrapper(*a, **kw):
+            started.set()
+            release.wait(timeout=10)
+            return fn(*a, **kw)
+        return wrapper
+
+    eng._prefill_jit = slow_prefill_jit
+    req = Request(prompt_ids=[3, 4, 5], tenant_id=0,
+                  max_new_tokens=1000, request_id="r2")
+    th = threading.Thread(target=eng.submit, args=(req,))
+    th.start()
+    assert started.wait(timeout=10)
+    assert eng.cancel("r2") is True   # prefill in flight -> deferred
+    release.set()
+    th.join(timeout=30)
+    assert not th.is_alive()
+    assert not any(s.active or s.reserved for s in eng.slots)
+    assert sorted(eng.free_slots()) == [0, 1]
+
+
+def test_stream_disconnect_cancels_engine_work():
+    """Closing the NDJSON stream generator mid-flight (what a client
+    disconnect does) must cancel the request in the engine instead of
+    decoding to max_new_tokens in the background."""
+    from tests.test_serving import _make_world
+
+    cfg, base, tenants, stack = _make_world(num_tenants=2, vocab=258 + 30)
+    eng = Engine(cfg, stack, max_slots=2, max_seq=256,
+                 prefill_buckets=(32,), kernel="xla")
+    tok = ByteTokenizer()
+    app = ServingApp(eng, [TenantInfo("alpha", tok, stop_token_ids=()),
+                           TenantInfo("beta", tok, stop_token_ids=())])
+    gen = app.generate_stream({"prompt": "hello", "tenant": "alpha",
+                               "max_new_tokens": 200})
+    next(gen)   # first token flows
+    gen.close()  # client disconnected
+    # The slot must free promptly (the stepper may deliver at most the
+    # already-queued chunk), not run out the remaining ~200 tokens.
+    import time
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        if not any(s.active or s.reserved for s in eng.slots):
+            break
+        app._wake.set()
+        time.sleep(0.05)
+    assert not any(s.active or s.reserved for s in eng.slots)
