@@ -51,6 +51,12 @@ def main(argv=None):
     p.add_argument("--no_warmup", action="store_true",
                    help="skip eager compilation of prefill buckets and "
                         "decode at boot (first requests will pay compiles)")
+    p.add_argument("--kv_dtype", type=str, default=None,
+                   choices=("bf16", "int8"),
+                   help="KV-cache storage: int8 halves long-context "
+                        "decode cache traffic and doubles capacity "
+                        "(per-vector absmax scales; ~1-2%% logit "
+                        "perturbation; llama family)")
     # --kernel comes from add_mesh_args
     p.add_argument("--smoke_test", action="store_true",
                    help="generate a few tokens from every tenant and exit")
@@ -119,7 +125,8 @@ def main(argv=None):
     engine = Engine(cfg, stack, max_slots=args.max_slots,
                     max_seq=args.max_seq, kernel=args.kernel,
                     compute_dtype=dtype, mesh=mesh, model=model_mod,
-                    decode_chunk=args.decode_chunk)
+                    decode_chunk=args.decode_chunk,
+                    kv_dtype=args.kv_dtype)
     if not args.no_warmup:
         # Reference parity (demo_backend.py:317-328) and a hard
         # requirement here: a cold prefill bucket costs a remote compile

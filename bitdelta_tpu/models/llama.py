@@ -42,22 +42,43 @@ Deltas = Dict[str, BinaryDelta]
 class KVCache(NamedTuple):
     """Per-layer key/value cache. k/v: ``(L, B, S_max, KV_heads, head_dim)``;
     length: ``(B,)`` int32 — number of valid tokens per row (right-aligned,
-    no left-padding anywhere in this framework)."""
+    no left-padding anywhere in this framework).
+
+    ``k_scale``/``v_scale``: None for a bf16 cache; for the int8 cache
+    (``init_cache(kv_dtype="int8")``) they are fp32
+    ``(L, B, S_max, KV_heads)`` per-stored-vector absmax scales
+    (ops/kv_quant.py) — half the decode-time cache traffic, double the
+    capacity; the flash decode kernel dequantizes in-VMEM."""
 
     k: jax.Array
     v: jax.Array
     length: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_seq(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_cache(cfg: ModelConfig, batch: int, max_seq: int,
-               dtype=jnp.bfloat16) -> KVCache:
+               dtype=jnp.bfloat16, kv_dtype: Optional[str] = None) -> KVCache:
     shape = (cfg.num_layers, batch, max_seq, cfg.num_kv_heads, cfg.head_dim)
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
-                   length=jnp.zeros((batch,), jnp.int32))
+    if kv_dtype in (None, "bf16", "bfloat16"):
+        return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                       length=jnp.zeros((batch,), jnp.int32))
+    if kv_dtype != "int8":
+        raise ValueError(f"unknown kv_dtype {kv_dtype!r}")
+    sshape = shape[:-1]
+    return KVCache(k=jnp.zeros(shape, jnp.int8),
+                   v=jnp.zeros(shape, jnp.int8),
+                   length=jnp.zeros((batch,), jnp.int32),
+                   k_scale=jnp.zeros(sshape, jnp.float32),
+                   v_scale=jnp.zeros(sshape, jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -415,10 +436,15 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
                cache_k=None, cache_v=None, write_pos=None,
                kernel: str = "xla", lengths=None,
                flash_interpret: bool = False,
-               tp_axis: Optional[str] = None):
+               tp_axis: Optional[str] = None,
+               cache_k_scale=None, cache_v_scale=None):
     """One decoder block. If cache_k/v given (decode), new K/V are written
     at ``write_pos`` per row and attention runs over the whole cache.
-    Returns (x_out, new_cache_k, new_cache_v).
+    Returns (x_out, new_cache_k, new_cache_v, new_k_scale, new_v_scale)
+    — the scale slots are None unless the cache is int8-quantized
+    (``cache_k_scale`` given; ops/kv_quant.py): then fresh K/V quantize
+    before the write, the Pallas decode attention dequantizes in-VMEM,
+    and the XLA/prefill attention paths read a dequantized view.
 
     ``tp_axis``: Megatron-TP per-shard mode (inside ``shard_map``): cfg
     carries LOCAL head counts, column-parallel projections produce local
@@ -463,12 +489,31 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    quantized = cache_k is not None and cache_k_scale is not None
     if cache_k is not None:
         rows = jnp.arange(b)
+        idx = write_pos[:, None] + jnp.arange(sq)[None, :]
+        if quantized:
+            from ..ops.kv_quant import quantize_kv
+
+            k_store, ks_new = quantize_kv(k)
+            v_store, vs_new = quantize_kv(v)
+            cache_k_scale = cache_k_scale.at[rows[:, None], idx].set(ks_new)
+            cache_v_scale = cache_v_scale.at[rows[:, None], idx].set(vs_new)
+        else:
+            k_store, v_store = k, v
         # write_pos: (B,) — scatter this step's K/V into each row's slot.
-        cache_k = cache_k.at[rows[:, None], write_pos[:, None] + jnp.arange(sq)[None, :]].set(k)
-        cache_v = cache_v.at[rows[:, None], write_pos[:, None] + jnp.arange(sq)[None, :]].set(v)
+        cache_k = cache_k.at[rows[:, None], idx].set(k_store)
+        cache_v = cache_v.at[rows[:, None], idx].set(v_store)
         k_all, v_all = cache_k, cache_v
+        if quantized and not (kernel == "pallas" and sq == 1):
+            # XLA / prefill attention paths read a dequantized view (one
+            # cache-sized bf16 temp; prefill runs once per admission —
+            # only the decode hot path must keep the 1 B/elem stream).
+            from ..ops.kv_quant import dequantize_kv
+
+            k_all = dequantize_kv(cache_k, cache_k_scale, compute_dtype)
+            v_all = dequantize_kv(cache_v, cache_v_scale, compute_dtype)
     else:
         k_all, v_all = k, v
 
@@ -479,7 +524,10 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
 
         attn = flash_decode_attention(
             q[:, 0], k_all, v_all, q_positions[:, 0] + 1,
-            window=cfg.sliding_window)[:, None, :, :].reshape(b, sq, -1)
+            k_scale=cache_k_scale if quantized else None,
+            v_scale=cache_v_scale if quantized else None,
+            window=cfg.sliding_window,
+            interpret=flash_interpret)[:, None, :, :].reshape(b, sq, -1)
     elif (kernel in ("pallas", "pallas_train") and lengths is not None
           and sq > 1 and sq % 8 == 0 and k_all.shape[1] % 8 == 0):
         # Fresh-sequence prefill (queries at positions 0..sq-1): blockwise
@@ -501,7 +549,7 @@ def _layer_fwd(cfg: ModelConfig, compute_dtype, x, layer_params,
     gate = proj("gate_proj", h)
     up = proj("up_proj", h)
     x = x + proj("down_proj", (jax.nn.silu(gate.astype(jnp.float32)).astype(compute_dtype) * up))
-    return x, cache_k, cache_v
+    return x, cache_k, cache_v, cache_k_scale, cache_v_scale
 
 
 def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
@@ -512,6 +560,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
             return_cache: bool = False,
             cache_max_seq: Optional[int] = None,
             kernel: str = "xla",
+            kv_quant: bool = False,
             _flash_interpret: bool = False):
     """Full-sequence forward (training / eval / prefill).
 
@@ -522,6 +571,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
         ``(L, ...)`` (single tenant) or ``(L, T, ...)`` with ``tenant_ids``.
       return_cache: also return a KVCache holding this sequence's K/V
         (for serving prefill). ``cache_max_seq`` pads the cache.
+      kv_quant: with return_cache, store the cache int8-quantized
+        (ops/kv_quant.py; the serving engine's kv_dtype="int8" mode).
 
     Returns ``logits (B, S, V)`` [, KVCache].
     """
@@ -549,7 +600,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
                 lp, ld = xs
             else:
                 lp, ld = xs, None
-            x, _, _ = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
+            x, _, _, _, _ = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
                                  positions, kv_valid, cos, sin,
                                  kernel=kernel, lengths=lengths,
                                  flash_interpret=_flash_interpret)
@@ -563,22 +614,29 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
         max_seq = cache_max_seq or s
         kv_valid = jnp.arange(max_seq)[None, :] < lengths[:, None]
         cache_k0 = jnp.zeros((b, max_seq, cfg.num_kv_heads, cfg.head_dim),
-                             compute_dtype)
+                             jnp.int8 if kv_quant else compute_dtype)
+        scale0 = (jnp.zeros((b, max_seq, cfg.num_kv_heads), jnp.float32)
+                  if kv_quant else None)
 
         def body_cache(x, xs):
             if deltas is not None:
                 lp, ld = xs
             else:
                 lp, ld = xs, None
-            x, ck, cv = _layer_fwd(
+            x, ck, cv, cks, cvs = _layer_fwd(
                 cfg, compute_dtype, x, lp, ld, tenant_ids,
                 positions, kv_valid, cos, sin,
                 cache_k=cache_k0, cache_v=cache_k0,
                 write_pos=jnp.zeros((b,), jnp.int32), kernel=kernel,
-                lengths=lengths, flash_interpret=_flash_interpret)
-            return x, (ck, cv)
+                lengths=lengths, flash_interpret=_flash_interpret,
+                cache_k_scale=scale0, cache_v_scale=scale0)
+            return x, ((ck, cv, cks, cvs) if kv_quant else (ck, cv))
 
-        x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)
+        if kv_quant:
+            x, (ks, vs, kss, vss) = jax.lax.scan(body_cache, x, layer_xs)
+        else:
+            x, (ks, vs) = jax.lax.scan(body_cache, x, layer_xs)
+            kss = vss = None
 
     x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
     logits = _lm_head_logits(params, x, tenant_ids, compute_dtype,
@@ -587,7 +645,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
 
     if not return_cache:
         return logits
-    cache = KVCache(k=ks, v=vs, length=lengths)
+    cache = KVCache(k=ks, v=vs, length=lengths, k_scale=kss, v_scale=vss)
     return logits, cache
 
 
@@ -596,7 +654,8 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
                 deltas: Optional[Deltas] = None,
                 tenant_ids: Optional[jax.Array] = None,
                 compute_dtype=None, kernel: str = "xla",
-                tp_axis: Optional[str] = None):
+                tp_axis: Optional[str] = None,
+                _flash_interpret: bool = False):
     """Single-token decode: tokens ``(B, 1)`` appended at each row's
     current length. Returns ``(logits (B, 1, V), new_cache)``.
 
@@ -622,30 +681,42 @@ def decode_step(cfg: ModelConfig, params: Params, tokens: jax.Array,
     x = _embed_lookup(params, tokens, tenant_ids, embed_delta,
                       tp_axis=tp_axis).astype(compute_dtype)
 
-    layer_xs = (params["layers"], cache.k, cache.v)
+    quantized = cache.quantized
+    caches = ((cache.k, cache.v, cache.k_scale, cache.v_scale)
+              if quantized else (cache.k, cache.v))
+    layer_xs = (params["layers"],) + caches
     if deltas is not None:
-        layer_xs = (params["layers"], deltas, cache.k, cache.v)
+        layer_xs = (params["layers"], deltas) + caches
 
     def body(x, xs):
         if deltas is not None:
-            lp, ld, ck, cv = xs
+            lp, ld, *cs = xs
         else:
-            lp, ck, cv = xs
+            lp, *cs = xs
             ld = None
-        x, ck, cv = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
-                               positions, kv_valid, cos, sin,
-                               cache_k=ck, cache_v=cv,
-                               write_pos=cache.length, kernel=kernel,
-                               tp_axis=tp_axis)
-        return x, (ck, cv)
+        ck, cv = cs[0], cs[1]
+        cks, cvs = (cs[2], cs[3]) if quantized else (None, None)
+        x, ck, cv, cks, cvs = _layer_fwd(
+            cfg, compute_dtype, x, lp, ld, tenant_ids,
+            positions, kv_valid, cos, sin,
+            cache_k=ck, cache_v=cv,
+            write_pos=cache.length, kernel=kernel,
+            tp_axis=tp_axis, flash_interpret=_flash_interpret,
+            cache_k_scale=cks, cache_v_scale=cvs)
+        return x, ((ck, cv, cks, cvs) if quantized else (ck, cv))
 
-    x, (ks, vs) = jax.lax.scan(body, x, layer_xs)
+    if quantized:
+        x, (ks, vs, kss, vss) = jax.lax.scan(body, x, layer_xs)
+    else:
+        x, (ks, vs) = jax.lax.scan(body, x, layer_xs)
+        kss = vss = None
 
     x = rms_norm(x, _final_norm_w(params, tenant_ids), cfg.rms_norm_eps)
     logits = _lm_head_logits(params, x, tenant_ids, compute_dtype,
                              kernel=kernel, head_delta=head_delta,
                              embed_delta=embed_delta)
-    return logits, KVCache(k=ks, v=vs, length=new_length)
+    return logits, KVCache(k=ks, v=vs, length=new_length,
+                           k_scale=kss, v_scale=vss)
 
 
 # ---------------------------------------------------------------------------

@@ -52,10 +52,16 @@ def _pick_block_s(s: int) -> int:
     raise ValueError(f"cache length {s} not divisible by a tile size >= 8")
 
 
-def _flash_decode_kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
-                         kbuf, vbuf, ksem, vsem, *,
+def _flash_decode_kernel(len_ref, q_ref, k_hbm, v_hbm, *rest,
                          block_s: int, n_kv: int, g: int, hd: int,
-                         window, sm_scale: float):
+                         window, sm_scale: float, quantized: bool):
+    if quantized:
+        # int8 cache: per-(position, kv_head) scales ride alongside and
+        # dequantize in-VMEM (the HBM stream stays 1 B/elem).
+        (ks_hbm, vs_hbm, o_ref, kbuf, vbuf, ksbuf, vsbuf,
+         ksem, vsem, kssem, vssem) = rest
+    else:
+        o_ref, kbuf, vbuf, ksem, vsem = rest
     b = pl.program_id(0)
     nheads = n_kv * g
 
@@ -66,17 +72,23 @@ def _flash_decode_kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
 
     def fetch(i, slot):
         start = pl.multiple_of((lo_blk + i) * block_s, block_s)
-        kdma = pltpu.make_async_copy(
-            k_hbm.at[b, pl.ds(start, block_s), :], kbuf.at[slot],
-            ksem.at[slot])
-        vdma = pltpu.make_async_copy(
-            v_hbm.at[b, pl.ds(start, block_s), :], vbuf.at[slot],
-            vsem.at[slot])
-        return kdma, vdma
+        dmas = [pltpu.make_async_copy(
+                    k_hbm.at[b, pl.ds(start, block_s), :], kbuf.at[slot],
+                    ksem.at[slot]),
+                pltpu.make_async_copy(
+                    v_hbm.at[b, pl.ds(start, block_s), :], vbuf.at[slot],
+                    vsem.at[slot])]
+        if quantized:
+            dmas.append(pltpu.make_async_copy(
+                ks_hbm.at[b, pl.ds(start, block_s), :], ksbuf.at[slot],
+                kssem.at[slot]))
+            dmas.append(pltpu.make_async_copy(
+                vs_hbm.at[b, pl.ds(start, block_s), :], vsbuf.at[slot],
+                vssem.at[slot]))
+        return dmas
 
-    k0, v0 = fetch(0, 0)
-    k0.start()
-    v0.start()
+    for dma in fetch(0, 0):
+        dma.start()
 
     q = q_ref[0].astype(jnp.float32)                 # (H, hd)
 
@@ -86,13 +98,11 @@ def _flash_decode_kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
 
         @pl.when(i + 1 < n_blocks)
         def _():
-            kn, vn = fetch(i + 1, (i + 1) % 2)
-            kn.start()
-            vn.start()
+            for dma in fetch(i + 1, (i + 1) % 2):
+                dma.start()
 
-        kw, vw = fetch(i, slot)
-        kw.wait()
-        vw.wait()
+        for dma in fetch(i, slot):
+            dma.wait()
 
         start = (lo_blk + i) * block_s
         pos = start + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
@@ -108,9 +118,14 @@ def _flash_decode_kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
         for h in range(n_kv):
             kh = kblk[:, h * hd:(h + 1) * hd].astype(jnp.float32)
             qh = q[h * g:(h + 1) * g]
-            rows.append(jax.lax.dot_general(
+            sc = jax.lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
+                preferred_element_type=jnp.float32)
+            if quantized:
+                # q . (k8 * s) == (q . k8) * s — the scale is constant
+                # along the contracted hd axis.
+                sc = sc * ksbuf[slot][:, h][None, :]
+            rows.append(sc)
         scores = (jnp.concatenate(rows, axis=0) if n_kv > 1 else rows[0])
         scores = jnp.where(valid, scores * sm_scale, _NEG_INF)  # (H, BS)
 
@@ -123,7 +138,12 @@ def _flash_decode_kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
         outs = []
         for h in range(n_kv):
             vh = vblk[:, h * hd:(h + 1) * hd].astype(jnp.float32)
-            outs.append(jnp.dot(p[h * g:(h + 1) * g], vh,
+            ph = p[h * g:(h + 1) * g]
+            if quantized:
+                # p @ (v8 * s) == (p * s) @ v8 — fold the per-position
+                # scale into p before the dot.
+                ph = ph * vsbuf[slot][:, h][None, :]
+            outs.append(jnp.dot(ph, vh,
                                 preferred_element_type=jnp.float32))
         pv = jnp.concatenate(outs, axis=0) if n_kv > 1 else outs[0]
         return m_new, l_new, acc * alpha + pv
@@ -139,6 +159,8 @@ def _flash_decode_kernel(len_ref, q_ref, k_hbm, v_hbm, o_ref,
                    static_argnames=("window", "block_s", "interpret"))
 def flash_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                            lengths: jax.Array, *,
+                           k_scale: jax.Array | None = None,
+                           v_scale: jax.Array | None = None,
                            window: int | None = None,
                            block_s: int | None = None,
                            interpret: bool = False) -> jax.Array:
@@ -146,7 +168,11 @@ def flash_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     Args:
       q: ``(B, H, hd)`` — this step's queries (RoPE already applied).
-      k, v: ``(B, S, KV, hd)`` cache including this step's K/V.
+      k, v: ``(B, S, KV, hd)`` cache including this step's K/V. May be
+        int8 (ops/kv_quant.py) — then ``k_scale``/``v_scale``
+        ``(B, S, KV)`` fp32 must be given and dequantization happens
+        in-VMEM (HBM streams 1 B per cache element: half the traffic,
+        double the capacity of a bf16 cache).
       lengths: ``(B,)`` int32 — valid slots per row (including the token
         just written); slot ``lengths[b] - 1`` is the query's position.
       window: Mistral sliding-window size (keys at positions
@@ -160,6 +186,8 @@ def flash_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     _, s, n_kv, hdk = k.shape
     assert hdk == hd and k.shape == v.shape, (q.shape, k.shape, v.shape)
     assert nheads % n_kv == 0
+    quantized = k_scale is not None
+    assert quantized == (v_scale is not None)
     g = nheads // n_kv
     bs = block_s or _pick_block_s(s)
     assert s % bs == 0, (s, bs)
@@ -171,24 +199,31 @@ def flash_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
     kernel = functools.partial(
         _flash_decode_kernel, block_s=bs, n_kv=n_kv, g=g, hd=hd,
-        window=window, sm_scale=sm_scale)
+        window=window, sm_scale=sm_scale, quantized=quantized)
+    in_specs = [
+        pl.BlockSpec((1, nheads, hd), lambda b, ids: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),    # K stays in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),    # V stays in HBM
+    ]
+    scratch = [
+        pltpu.VMEM((2, bs, n_kv * hd), k.dtype),  # K double buffer
+        pltpu.VMEM((2, bs, n_kv * hd), v.dtype),  # V double buffer
+    ]
+    operands = [lengths, q, kr, vr]
+    if quantized:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * 2  # scales
+        scratch += [pltpu.VMEM((2, bs, n_kv), jnp.float32)] * 2
+        operands += [k_scale.astype(jnp.float32),
+                     v_scale.astype(jnp.float32)]
+    scratch += [pltpu.SemaphoreType.DMA((2,))] * (4 if quantized else 2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bsz,),
-        in_specs=[
-            pl.BlockSpec((1, nheads, hd), lambda b, ids: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),    # K stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),    # V stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nheads, hd), lambda b, ids: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, bs, n_kv * hd), k.dtype),  # K double buffer
-            pltpu.VMEM((2, bs, n_kv * hd), v.dtype),  # V double buffer
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,
@@ -200,4 +235,4 @@ def flash_decode_attention(q: jax.Array, k: jax.Array, v: jax.Array,
             transcendentals=bsz * nheads * s,
         ),
         interpret=interpret,
-    )(lengths, q, kr, vr)
+    )(*operands)

@@ -275,12 +275,23 @@ def cache_spec() -> P:
     return P(None, DATA_AXIS, None, MODEL_AXIS, None)
 
 
+def cache_scale_spec() -> P:
+    """int8-KV scales ``(L, B, S, KV)`` shard like k/v minus head_dim."""
+    return P(None, DATA_AXIS, None, MODEL_AXIS)
+
+
 def shard_cache(cache, mesh: Mesh):
-    """Place a KVCache with batch on data and kv-heads on model."""
+    """Place a KVCache with batch on data and kv-heads on model
+    (int8-KV scale arrays shard alongside when present)."""
+    put = lambda x, s: jax.device_put(x, NamedSharding(mesh, s))
     return cache._replace(
-        k=jax.device_put(cache.k, NamedSharding(mesh, cache_spec())),
-        v=jax.device_put(cache.v, NamedSharding(mesh, cache_spec())),
-        length=jax.device_put(cache.length, NamedSharding(mesh, P())))
+        k=put(cache.k, cache_spec()),
+        v=put(cache.v, cache_spec()),
+        length=put(cache.length, P()),
+        k_scale=(None if cache.k_scale is None
+                 else put(cache.k_scale, cache_scale_spec())),
+        v_scale=(None if cache.v_scale is None
+                 else put(cache.v_scale, cache_scale_spec())))
 
 
 def batch_spec() -> P:

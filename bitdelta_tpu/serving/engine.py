@@ -83,7 +83,8 @@ class Engine:
                  max_slots: int = 8, max_seq: int = 1024,
                  prefill_buckets: Sequence[int] = (64, 128, 256, 512, 1024),
                  kernel: str = "auto", compute_dtype=None, seed: int = 0,
-                 mesh=None, model=None, decode_chunk: int = 1):
+                 mesh=None, model=None, decode_chunk: int = 1,
+                 kv_dtype: Optional[str] = None):
         """``mesh``: a ``(data, model)`` jax.sharding.Mesh — the stack
         (base weights, packed tenant deltas, per-tenant extras) and the
         KV cache are GSPMD-sharded over it (Megatron TP per
@@ -141,10 +142,16 @@ class Engine:
 
             self.stack = stack = to_pair_layout(stack, tp=self.tp)
         self.compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
+        if kv_dtype not in (None, "bf16", "bfloat16", "int8"):
+            raise ValueError(f"unknown kv_dtype {kv_dtype!r}")
+        self.kv_quant = kv_dtype == "int8"
+        if self.kv_quant and not is_llama:
+            raise ValueError("kv_dtype='int8' is wired for the llama "
+                             "family only (mixtral keeps a bf16 cache)")
 
         self.slots = [SlotState() for _ in range(max_slots)]
         self.cache = llama.init_cache(cfg, max_slots, max_seq,
-                                      self.compute_dtype)
+                                      self.compute_dtype, kv_dtype=kv_dtype)
         if mesh is not None:
             from ..parallel import sharding as psh
             from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
@@ -212,8 +219,10 @@ class Engine:
             num_kv_heads=cfg.num_kv_heads // tp)
         param_specs = psh.serving_param_specs(cfg, self.stack.params)
         delta_specs = psh.serving_delta_specs(self.stack.deltas)
+        sspec = psh.cache_scale_spec() if self.kv_quant else None
         cache_specs = llama.KVCache(k=psh.cache_spec(), v=psh.cache_spec(),
-                                    length=P(DATA_AXIS))
+                                    length=P(DATA_AXIS),
+                                    k_scale=sspec, v_scale=sspec)
 
         def per_shard(params, deltas, cache, tokens, tenant_ids):
             return model.decode_step(
@@ -242,11 +251,16 @@ class Engine:
             step_impl = self._make_tp_decode()
         self._step_impl = step_impl
 
-        def insert_fn(cache, row_k, row_v, row_len, slot):
-            return llama.KVCache(
-                k=cache.k.at[:, slot].set(row_k[:, 0]),
-                v=cache.v.at[:, slot].set(row_v[:, 0]),
-                length=cache.length.at[slot].set(row_len))
+        def insert_fn(cache, rowcache, row_len, slot):
+            new = llama.KVCache(
+                k=cache.k.at[:, slot].set(rowcache.k[:, 0]),
+                v=cache.v.at[:, slot].set(rowcache.v[:, 0]),
+                length=cache.length.at[slot].set(row_len),
+                k_scale=(None if cache.k_scale is None else
+                         cache.k_scale.at[:, slot].set(rowcache.k_scale[:, 0])),
+                v_scale=(None if cache.v_scale is None else
+                         cache.v_scale.at[:, slot].set(rowcache.v_scale[:, 0])))
+            return new
 
         self._insert = jax.jit(insert_fn, donate_argnums=(0,))
 
@@ -310,12 +324,15 @@ class Engine:
             kernel = "xla"
         model = self.model
 
+        kv_kw = {"kv_quant": True} if self.kv_quant else {}
+
         def prefill_fn(params, deltas, tokens, length, tenant_id,
                        vocab_sizes):
             logits, rowcache = model.forward(
                 cfg, params, tokens, lengths=length, deltas=deltas,
                 tenant_ids=tenant_id, compute_dtype=dtype,
-                return_cache=True, cache_max_seq=max_seq, kernel=kernel)
+                return_cache=True, cache_max_seq=max_seq, kernel=kernel,
+                **kv_kw)
             last = logits[0, length[0] - 1].astype(jnp.float32)
             vmask = jnp.arange(last.shape[-1]) < vocab_sizes[tenant_id[0]]
             last = jnp.where(vmask, last, NEG_INF)
@@ -480,7 +497,7 @@ class Engine:
                 return
             # The insert donates the live cache buffer — must not race a
             # decode step (which also consumes/donates it).
-            self.cache = self._insert(self.cache, rowcache.k, rowcache.v,
+            self.cache = self._insert(self.cache, rowcache,
                                       jnp.int32(len(ids)), slot)
             st = self.slots[slot]
             st.active = True

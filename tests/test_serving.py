@@ -287,3 +287,59 @@ def test_chunked_decode_near_cache_cap():
     assert out == ref
     # Capped by the cache (max_seq - 1 slots usable), not max_new_tokens.
     assert len(out) == 16 - 1 - 6
+
+
+# ---------------------------------------------------------------------------
+# int8 KV cache (kv_dtype="int8"): half the decode-time cache traffic,
+# double the capacity (ops/kv_quant.py; flash decode dequantizes in-VMEM)
+# ---------------------------------------------------------------------------
+
+def test_engine_int8_kv_cache_generates_like_bf16():
+    cfg, base, tenants, stack = _make_world(num_tenants=2)
+
+    def run(kv_dtype):
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla",
+                     compute_dtype=jnp.float32, kv_dtype=kv_dtype)
+        if kv_dtype == "int8":
+            assert eng.cache.k.dtype == jnp.int8
+            assert eng.cache.k_scale is not None
+        return eng.generate(
+            [Request(prompt_ids=[3, 9, 4, 7], tenant_id=t,
+                     max_new_tokens=8) for t in range(2)])
+
+    # ~1-2% logit perturbation from int8 KV: greedy argmax stays put on
+    # this world (deterministic; validated against the fp logits in
+    # tests/test_flash_decode.py and the model-level error bound).
+    assert run("int8") == run(None)
+
+
+def test_engine_int8_kv_mesh_matches_single_device():
+    from bitdelta_tpu.parallel import mesh as pmesh
+    from tests.test_serving_mesh import _make_world as _mesh_world
+
+    cfg, stack = _mesh_world(num_tenants=2)
+
+    def run(mesh):
+        eng = Engine(cfg, stack, max_slots=4, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla",
+                     compute_dtype=jnp.float32, kv_dtype="int8",
+                     mesh=mesh)
+        return eng.generate(
+            [Request(prompt_ids=[3, 9, 4], tenant_id=t, max_new_tokens=6)
+             for t in range(2)])
+
+    want = run(None)
+    got = run(pmesh.make_mesh((2, 2), devices=jax.devices()[:4]))
+    assert got == want
+
+
+def test_engine_int8_kv_rejects_mixtral():
+    import pytest
+
+    from bitdelta_tpu.models import mixtral as mx
+
+    cfg, base, tenants, stack = _make_world(num_tenants=2)
+    with pytest.raises(ValueError, match="llama family"):
+        Engine(cfg, stack, max_slots=2, max_seq=64, kernel="xla",
+               model=mx, kv_dtype="int8")

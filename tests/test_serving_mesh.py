@@ -110,3 +110,27 @@ def test_mesh_engine_validation():
     with pytest.raises(ValueError, match="max_slots"):
         Engine(cfg, stack, max_slots=3, max_seq=64, kernel="xla",
                mesh=mesh)
+
+
+def test_mesh_engine_pallas_int8_kv_matches_single_device():
+    """TP shard_map pallas decode over a SHARDED int8 KV cache (scales
+    shard with the kv heads): greedy == single-device int8 engine."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    cfg, stack = _make_world()
+
+    def run_kv(mesh, kernel):
+        eng = Engine(cfg, stack, max_slots=4, max_seq=64,
+                     prefill_buckets=(16,), kernel=kernel, mesh=mesh,
+                     kv_dtype="int8")
+        reqs = [Request(prompt_ids=[3, 5, 7, 9, 11], tenant_id=0,
+                        max_new_tokens=6),
+                Request(prompt_ids=[2, 4, 6], tenant_id=1,
+                        max_new_tokens=6)]
+        return eng.generate(reqs)
+
+    want = run_kv(None, "xla")
+    mesh = pmesh.make_mesh((2, 4), devices=jax.devices()[:8])
+    with pltpu.force_tpu_interpret_mode():
+        got = run_kv(mesh, "pallas")
+    assert got == want
