@@ -126,12 +126,22 @@ def timed(fn, *args):
 
 
 def rand_bits(key, shape, dtype=jnp.int32):
-    """Random packed words generated directly at the target width (no
-    int32->int8 staging temps — matters at 7 GB of deltas)."""
+    """Random packed words with temps no larger than the output.
+
+    ``jax.random.bits`` at sub-32-bit dtypes stages 4 B/elem of
+    threefry words before narrowing — an 8 GB spike on the 7 GB int8
+    base that OOMed the 16 GB chip. Generate out-size uint32 words and
+    bitcast to the target width instead (values are uniform bits either
+    way)."""
     nbits = jnp.dtype(dtype).itemsize * 8
-    raw = jax.random.bits(key, shape, jnp.uint8 if nbits == 8
-                          else jnp.uint32)
-    return jax.lax.bitcast_convert_type(raw, dtype)
+    *lead, last = shape
+    assert (last * nbits) % 32 == 0
+    raw = jax.random.bits(key, (*lead, last * nbits // 32), jnp.uint32)
+    # bitcast to a narrower dtype appends a (32/nbits,) axis; reshape
+    # folds it back into the last dim.
+    out = jax.lax.bitcast_convert_type(raw, dtype).reshape(shape)
+    out.block_until_ready()
+    return out
 
 
 def build_cfg():
@@ -265,12 +275,72 @@ def bench_engine(cfg, params, deltas, kernel):
     return toks / dt
 
 
+def build_naive_params(cfg):
+    """Dense bf16 model generated layer-by-layer: one f32 random temp is
+    never bigger than a single (K, N) layer slice (init_params' stacked
+    (L, K, N) f32 temps OOM the chip next to an already-built world)."""
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 1024))
+    L, D, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+
+    def slice_(k, n):
+        return (jax.random.normal(next(keys), (k, n), jnp.float32)
+                * 0.02).astype(jnp.bfloat16)
+
+    def stacked(k, n):
+        rows = []
+        for _ in range(L):
+            rows.append(slice_(k, n))
+            rows[-1].block_until_ready()
+        out = jnp.stack(rows)
+        out.block_until_ready()
+        return out
+
+    params = {
+        "embed": slice_(cfg.vocab_size, D),
+        "final_norm": jnp.ones((D,), jnp.bfloat16),
+        "lm_head": slice_(D, cfg.vocab_size),
+        "layers": {
+            "attn_norm": jnp.ones((L, D), jnp.bfloat16),
+            "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
+            **{name: stacked(k, n)
+               for name, (k, n) in proj_shapes(cfg).items()},
+        },
+    }
+    return params
+
+
+def quantize_naive_w8(params, cfg):
+    """Leaf-wise int8 quantization with per-layer granularity (the
+    vectorized quantize_int8 stages an (L, K, N) f32 temp — 7.5 GB on
+    down_proj — next to the rest of the model)."""
+    from bitdelta_tpu.research.quantized_base import Int8Weight, quantize_int8
+
+    params["layers"] = dict(params["layers"])
+    for name in proj_shapes(cfg):
+        w = params["layers"][name]
+        qs, ss = [], []
+        for l in range(w.shape[0]):
+            qw = quantize_int8(w[l])
+            qs.append(qw.q)
+            ss.append(qw.scale)
+            qs[-1].block_until_ready()
+        params["layers"][name] = Int8Weight(q=jnp.stack(qs),
+                                            scale=jnp.stack(ss))
+        jax.block_until_ready(params["layers"][name])
+        del w
+        gc.collect()
+    return params
+
+
 def main():
+    global _FLOOR
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
     cfg = build_cfg()
     kernel = "pallas" if backend == "tpu" else "xla"
     tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
+    _FLOOR = measure_floor()  # before the world fills HBM
+    log(f"null-call floor: {_FLOOR*1e3:.1f} ms (subtracted)")
 
     # ---- phase 1: ours (full model, W8 base + W1 pair deltas) --------
     log(f"building serve world: {cfg.num_layers}L x {TENANTS} tenants, "
@@ -304,7 +374,7 @@ def main():
 
     # ---- phase 3: naive bf16 (per-tenant dense fine-tunes) ----------
     log("building naive bf16 single model ...")
-    params = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    params = build_naive_params(cfg)
     jax.block_until_ready(params)
 
     def naive_step(p, _unused, tokens, cache):
@@ -321,13 +391,10 @@ def main():
         f"{t_bf16*TENANTS*1e3:.2f} ms")
 
     # ---- phase 4: naive W8 (quantized fine-tunes; apples-to-apples) --
-    from bitdelta_tpu.research.quantized_base import quantize_int8
-
-    log("quantizing naive model to W8 (leaf-wise) ...")
-    params["layers"] = dict(params["layers"])
-    for name in proj_shapes(cfg):
-        params["layers"][name] = quantize_int8(params["layers"][name])
-        jax.block_until_ready(params["layers"][name])
+    log("quantizing naive model to W8 (layer-wise) ...")
+    del run_n, cache_n, tok_n
+    gc.collect()
+    params = quantize_naive_w8(params, cfg)
     run_n8, cache_n8, tok_n8 = make_chained(cfg, kernel, naive_step, 1)
     t_w8, _ = timed(run_n8, params, None, cache_n8, tok_n8)
     log(f"  naive W8:   {t_w8*1e3:.2f} ms/model-step x {TENANTS} = "

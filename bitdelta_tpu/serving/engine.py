@@ -40,6 +40,13 @@ from .stacking import TenantStack
 NEG_INF = float("-inf")
 
 
+class EngineFullError(RuntimeError):
+    """No free slot for an admission. A DISTINCT type so callers'
+    retry-on-full loops don't accidentally swallow device/compile
+    errors from the in-admission prefill (XlaRuntimeError is also a
+    RuntimeError subclass)."""
+
+
 @dataclasses.dataclass
 class Request:
     prompt_ids: List[int]
@@ -148,6 +155,28 @@ class Engine:
         if self.kv_quant and not is_llama:
             raise ValueError("kv_dtype='int8' is wired for the llama "
                              "family only (mixtral keeps a bf16 cache)")
+        if self.kv_quant and kernel != "pallas":
+            # Capacity still doubles, but the XLA decode path reads a
+            # dequantized full-cache view per step — MORE traffic than
+            # bf16. Only the flash kernels stream int8 end-to-end.
+            print("[engine] kv_dtype=int8 with kernel="
+                  f"{kernel!r}: cache capacity doubles but decode "
+                  "traffic does NOT drop (the XLA path dequantizes the "
+                  "cache per step); use kernel='pallas' on TPU for the "
+                  "bandwidth win", flush=True)
+        if kernel == "pallas" and multi_device:
+            from ..research.quantized_base import Int4Weight
+
+            if any(isinstance(w, Int4Weight)
+                   for w in stack.params["layers"].values()):
+                # The shard_map per-shard body would feed int4_matmul a
+                # K-sharded packed slice with the full global grouped
+                # scale — groups misalign and logits are silently wrong.
+                raise ValueError(
+                    "W4 (int4) base + kernel='pallas' + multi-device "
+                    "mesh is not supported: grouped int4 scales don't "
+                    "slice per-shard; serve W4+TP with kernel='xla' "
+                    "(GSPMD handles the global view correctly)")
 
         self.slots = [SlotState() for _ in range(max_slots)]
         self.cache = llama.init_cache(cfg, max_slots, max_seq,
@@ -436,7 +465,7 @@ class Engine:
         with self._lock:
             free = self.free_slots()
             if not free:
-                raise RuntimeError("engine full")
+                raise EngineFullError("engine full")
             slot = self._pick_slot(free, req.tenant_id)
             self.slots[slot].reserved = True
             # Visible to cancel() while the prefill is in flight.
@@ -444,7 +473,17 @@ class Engine:
         try:
             self._admit(slot, req)
         finally:
-            self.slots[slot].reserved = False
+            st = self.slots[slot]
+            st.reserved = False
+            if not st.active:
+                # Failed or cancelled admission: leave no stale Request
+                # on the (free) slot and no leaked rid in _cancelled
+                # (the consumption point in _admit is never reached when
+                # the prefill itself raises).
+                st.request = None
+                if req.request_id is not None:
+                    with self._lock:
+                        self._cancelled.discard(req.request_id)
         return slot
 
     def _pick_slot(self, free: List[int], tenant_id: int) -> int:

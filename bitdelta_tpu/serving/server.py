@@ -31,7 +31,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional, Sequence
 
-from .engine import Engine, Request
+from .engine import Engine, EngineFullError, Request
 
 
 class ByteTokenizer:
@@ -131,7 +131,9 @@ class ServingApp:
                     self._queues.clear()
                     for s in self.engine.slots:
                         s.active = False
-                    self._wake.clear()
+                self._wake.clear()
+                if any(s.active for s in self.engine.slots):
+                    self._wake.set()  # admission landed during cleanup
                 continue
             with self._mu:
                 finished_any = False
@@ -144,10 +146,17 @@ class ServingApp:
                             self._queues.pop(ev.request_id, None)
                 if finished_any:
                     self._slot_free.notify_all()
-                if not any(s.active for s in self.engine.slots):
-                    # An in-flight admission re-sets the event after its
-                    # submit completes, so clearing here cannot strand it.
-                    self._wake.clear()
+            if not any(s.active for s in self.engine.slots):
+                # Clear-then-RECHECK: an admission activates its slot
+                # (engine lock) BEFORE setting _wake, so either our
+                # clear precedes its set (the set survives) or the
+                # recheck sees the active slot and re-arms. Without the
+                # recheck, an admission landing between the check and
+                # the clear would be stranded (lost wakeup) because its
+                # stream blocks in q.get() with no timeout.
+                self._wake.clear()
+                if any(s.active for s in self.engine.slots):
+                    self._wake.set()
 
     def resolve_tenant(self, spec) -> int:
         if spec is None:
@@ -221,16 +230,22 @@ class ServingApp:
                     try:
                         eng.submit(r)
                         break
-                    except RuntimeError:
-                        # Engine full: wait for the stepper to free a
-                        # slot (releases the lock while waiting).
+                    except EngineFullError:
+                        # Wait for capacity, bounded-polling: the
+                        # notification can be missed when the stepper
+                        # notifies between our submit and wait (submit
+                        # runs outside _mu), and slots freed by
+                        # cancel() emit no event at all — so re-try the
+                        # submit on every short timeout instead of
+                        # trusting one long wait.
                         with self._mu:
                             remaining = deadline - _time.monotonic()
-                            if remaining <= 0 or not self._slot_free.wait(
-                                    timeout=remaining):
+                            if remaining <= 0:
                                 raise RuntimeError(
                                     "engine full (timed out waiting for "
                                     "a free slot)")
+                            self._slot_free.wait(
+                                timeout=min(0.25, remaining))
                 self._wake.set()
                 # First generated token comes from the prefill logits.
                 first = r.first_token

@@ -152,13 +152,27 @@ def to_pair_layout(stack: TenantStack, tp: int = 1) -> TenantStack:
         # not by the matmul kernels — it stays canonical. Mixtral expert
         # stacks and the router stay canonical too: the vectorized XLA
         # expert path consumes BinaryDelta (only the attention
-        # projections ride the pair kernels). Already-paired leaves
-        # (pre-converted stacks, e.g. built directly in serving layout
-        # to halve peak memory) pass through.
-        if (name in ("embed", "w1", "w3", "w2", "router")
-                or hasattr(d, "packed_pairs")):
+        # projections ride the pair kernels).
+        if name in ("embed", "w1", "w3", "w2", "router"):
             deltas[name] = d
             continue
+        if hasattr(d, "packed_pairs"):
+            # Already-paired leaves (pre-converted stacks, e.g. built
+            # directly in serving layout to halve peak memory) pass
+            # through — EXCEPT a row-parallel delta whose colsum lacks
+            # the per-K-shard axis under TP: the full-K popcount
+            # correction is wrong for a K slice, so rebuild it from the
+            # packed words (cheap word shuffle, done once at setup).
+            if (name in ROW_PARALLEL and tp > 1
+                    and d.colsum.ndim == d.packed_pairs.ndim - 1):
+                from ..ops.packing import unpair_packed
+
+                d = BinaryDelta(packed=unpair_packed(d.packed_pairs),
+                                scale=d.scale)
+                # falls through to the row-parallel pairing below
+            else:
+                deltas[name] = d
+                continue
         k32, n = d.packed.shape[-2], d.packed.shape[-1]
         if name in ROW_PARALLEL and tp > 1:
             if n % PAIR_BLOCK or k32 % tp:

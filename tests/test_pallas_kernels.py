@@ -381,3 +381,39 @@ def test_pick_block_rejects_bad_dims():
     from bitdelta_tpu.ops.pallas_binary_gemm import _pick_block
     with pytest.raises(ValueError):
         _pick_block(100, (512, 256, 128))
+
+
+def test_to_pair_layout_rebuilds_full_k_colsum_under_tp():
+    """A pre-paired row-parallel delta carrying a full-K colsum must be
+    re-derived with per-K-shard colsums when converted for TP serving
+    (the full-K popcount correction is wrong for a K slice)."""
+    import jax
+
+    from bitdelta_tpu.core.compress import compress_model
+    from bitdelta_tpu.models import config as cfgs
+    from bitdelta_tpu.models import llama as jl
+    from bitdelta_tpu.serving.stacking import stack_tenants, to_pair_layout
+
+    cfg = cfgs.tiny_test_config(vocab_size=128, hidden_size=256,
+                                intermediate_size=1024, num_layers=2,
+                                num_heads=4, num_kv_heads=4,
+                                dtype="float32")
+    base = jl.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    fine = dict(base)
+    fine["layers"] = dict(base["layers"])
+    for i, name in enumerate(jl.PROJ_NAMES):
+        fine["layers"][name] = base["layers"][name] + 0.05*jax.random.normal(
+            jax.random.PRNGKey(i), base["layers"][name].shape)
+    stack = stack_tenants(cfg, base, [compress_model(base, fine)])
+
+    want = to_pair_layout(stack, tp=2)          # canonical -> TP pair
+    pre = to_pair_layout(stack, tp=1)           # pre-paired, full-K colsum
+    assert pre.deltas["down_proj"].colsum.ndim == 3   # (L, T, N)
+    got = to_pair_layout(pre, tp=2)             # must rebuild
+    for name in ("o_proj", "down_proj"):
+        g, w = got.deltas[name], want.deltas[name]
+        assert g.colsum.ndim == 4                # (L, T, tp, N)
+        np.testing.assert_array_equal(np.asarray(g.packed_pairs),
+                                      np.asarray(w.packed_pairs))
+        np.testing.assert_allclose(np.asarray(g.colsum),
+                                   np.asarray(w.colsum))

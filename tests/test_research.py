@@ -367,3 +367,21 @@ def test_w4_base_mesh_serving_matches_single_device():
 
     got = run(pmesh.make_mesh((2, 2), devices=jax.devices()[:4]))
     assert got == want
+
+
+def test_w4_pallas_mesh_rejected():
+    """shard_map pallas decode would misalign grouped int4 scales on
+    K-sharded slices — the engine must refuse the combination (W4+TP
+    serves correctly through kernel='xla'/GSPMD)."""
+    import pytest
+
+    from bitdelta_tpu.parallel import mesh as pmesh
+    from bitdelta_tpu.serving.engine import Engine
+    from bitdelta_tpu.serving.stacking import stack_tenants
+
+    cfg, dense, qbase, deq, tenants = _w4_world()
+    stack = stack_tenants(cfg, qbase, [c for _, c in tenants])
+    mesh = pmesh.make_mesh((1, 2), devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="int4"):
+        Engine(cfg, stack, max_slots=2, max_seq=64, prefill_buckets=(16,),
+               kernel="pallas", mesh=mesh)

@@ -340,3 +340,17 @@ def test_stream_disconnect_cancels_engine_work():
         app._wake.set()
         time.sleep(0.05)
     assert not any(s.active or s.reserved for s in eng.slots)
+
+
+def test_engine_full_error_is_distinct_type():
+    from bitdelta_tpu.serving.engine import EngineFullError
+    from tests.test_serving import _make_world
+
+    cfg, base, tenants, stack = _make_world(num_tenants=2)
+    eng = Engine(cfg, stack, max_slots=1, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla")
+    eng.submit(Request(prompt_ids=[3, 4], tenant_id=0,
+                       max_new_tokens=50))
+    with pytest.raises(EngineFullError):
+        eng.submit(Request(prompt_ids=[5, 6], tenant_id=1,
+                           max_new_tokens=5))
