@@ -234,7 +234,17 @@ def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
     else:
         k_all, v_all = k, v
 
-    attn = _attention(cfg, q, k_all, v_all, positions, kv_valid)
+    if kernel == "pallas" and cache_k is not None and sq == 1:
+        # Decode: the flash kernel streams only each row's live cache
+        # blocks (same hot path as llama; the XLA fallback below reads
+        # the whole padded cache every step).
+        from ..ops.flash_decode import flash_decode_attention
+
+        attn = flash_decode_attention(
+            q[:, 0], k_all, v_all, positions[:, 0] + 1,
+            window=cfg.sliding_window)[:, None].reshape(b, sq, -1)
+    else:
+        attn = _attention(cfg, q, k_all, v_all, positions, kv_valid)
     x = x + attn_proj(attn, "o_proj")
     h = rms_norm(x, norm_w(p["mlp_norm"]), cfg.rms_norm_eps)
     x = x + _moe_ffn(cfg, compute_dtype, h, p, d, tenant_ids)
