@@ -42,9 +42,9 @@ from .core.artifact import load_delta, save_delta  # noqa: F401
 
 def __getattr__(name):
     # Heavier subsystems load lazily so `import bitdelta_tpu` stays light.
-    if name == "Engine":
-        from .serving.engine import Engine
-        return Engine
+    if name in ("Engine", "EngineFullError", "Request"):
+        from .serving import engine
+        return getattr(engine, name)
     if name == "stack_tenants":
         from .serving.stacking import stack_tenants
         return stack_tenants
@@ -54,4 +54,11 @@ def __getattr__(name):
     if name == "eval_ppl":
         from .eval.ppl import eval_ppl
         return eval_ppl
+    if name in ("quantize_kv", "dequantize_kv"):
+        from .ops import kv_quant
+        return getattr(kv_quant, name)
+    if name in ("Int4Weight", "Int8Weight", "quantize_base",
+                "roundtrip_base"):
+        from .research import quantized_base
+        return getattr(quantized_base, name)
     raise AttributeError(name)
