@@ -125,6 +125,19 @@ def timed(fn, *args):
     return max(min(ts) - _FLOOR, 1e-9) / STEPS, compile_and_first
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _rand_bits_jit(key, shape, dtype):
+    nbits = jnp.dtype(dtype).itemsize * 8
+    *lead, last = shape
+    raw = jax.random.bits(key, (*lead, last * nbits // 32), jnp.uint32)
+    # bitcast to a narrower dtype appends a (32/nbits,) axis; reshape
+    # folds it back into the last dim.
+    return jax.lax.bitcast_convert_type(raw, dtype).reshape(shape)
+
+
 def rand_bits(key, shape, dtype=jnp.int32):
     """Random packed words with temps no larger than the output.
 
@@ -132,14 +145,14 @@ def rand_bits(key, shape, dtype=jnp.int32):
     threefry words before narrowing — an 8 GB spike on the 7 GB int8
     base that OOMed the 16 GB chip. Generate out-size uint32 words and
     bitcast to the target width instead (values are uniform bits either
-    way)."""
+    way). The whole chain runs under ONE jit so XLA fuses threefry →
+    bitcast into a single output write: eagerly, the raw uint32 buffer
+    materializes next to the output (2x bytes — a 3.8 GB transient on
+    the (32, 4096, 14336) int8 gate slab, observed OOM when the pooled
+    chip wasn't empty)."""
     nbits = jnp.dtype(dtype).itemsize * 8
-    *lead, last = shape
-    assert (last * nbits) % 32 == 0
-    raw = jax.random.bits(key, (*lead, last * nbits // 32), jnp.uint32)
-    # bitcast to a narrower dtype appends a (32/nbits,) axis; reshape
-    # folds it back into the last dim.
-    out = jax.lax.bitcast_convert_type(raw, dtype).reshape(shape)
+    assert (shape[-1] * nbits) % 32 == 0
+    out = _rand_bits_jit(key, tuple(shape), dtype)
     out.block_until_ready()
     return out
 
@@ -275,6 +288,49 @@ def bench_engine(cfg, params, deltas, kernel):
     return toks / dt
 
 
+def _force(tree):
+    """Materialize every leaf NOW. The pooled-chip relay defers buffer
+    commitment (block_until_ready returns before HBM is touched), so an
+    over-budget world only explodes later inside a timed/compiled call.
+    Reading a scalar derived from each leaf forces its generating
+    computation — and therefore its full allocation — to run here,
+    inside the caller's retry guard."""
+    acc = 0.0
+    for leaf in jax.tree.leaves(tree):
+        sl = leaf[(0,) * (leaf.ndim - 1)][:1] if leaf.ndim else leaf
+        acc += float(jnp.sum(sl.astype(jnp.float32)))
+    return acc
+
+
+def _is_oom(e) -> bool:
+    return "RESOURCE_EXHAUSTED" in repr(e)
+
+
+def build_resilient(builder, what, retries=3, wait_s=45):
+    """Run ``builder()`` with retry-on-RESOURCE_EXHAUSTED.
+
+    The bench chip is a POOLED v5e behind a relay: other clients' (or a
+    killed predecessor's) allocations can transiently hold HBM, so a
+    build that fits by >2 GB on a quiet chip can still OOM. Waiting and
+    retrying is the honest fix; callers degrade the config only after
+    retries are exhausted (and must say so in the output)."""
+    for attempt in range(retries):
+        try:
+            out = builder()
+            _force(out)
+            return out
+        except Exception as e:  # noqa: BLE001 — re-raised unless OOM
+            if not _is_oom(e):
+                raise
+            out = None
+            gc.collect()
+            if attempt == retries - 1:
+                raise
+            log(f"  RESOURCE_EXHAUSTED building {what} (pooled chip "
+                f"busy?) — retry {attempt + 1}/{retries - 1} in {wait_s}s")
+            time.sleep(wait_s)
+
+
 def build_naive_params(cfg):
     """Dense bf16 model generated layer-by-layer: one f32 random temp is
     never bigger than a single (K, N) layer slice (init_params' stacked
@@ -318,6 +374,8 @@ def quantize_naive_w8(params, cfg):
     params["layers"] = dict(params["layers"])
     for name in proj_shapes(cfg):
         w = params["layers"][name]
+        if isinstance(w, Int8Weight):  # already done (retry safety)
+            continue
         qs, ss = [], []
         for l in range(w.shape[0]):
             qw = quantize_int8(w[l])
@@ -336,17 +394,29 @@ def main():
     global _FLOOR
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
+    global TENANTS
     cfg = build_cfg()
     kernel = "pallas" if backend == "tpu" else "xla"
-    tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
     _FLOOR = measure_floor()  # before the world fills HBM
     log(f"null-call floor: {_FLOOR*1e3:.1f} ms (subtracted)")
 
     # ---- phase 1: ours (full model, W8 base + W1 pair deltas) --------
-    log(f"building serve world: {cfg.num_layers}L x {TENANTS} tenants, "
-        f"W8 base + W1 deltas + 1-bit heads ...")
-    serve_params, deltas = build_serve_world(cfg)
-    jax.block_until_ready(serve_params)
+    degraded_from = None
+    while True:
+        log(f"building serve world: {cfg.num_layers}L x {TENANTS} "
+            f"tenants, W8 base + W1 deltas + 1-bit heads ...")
+        try:
+            serve_params, deltas = build_resilient(
+                lambda: build_serve_world(cfg), "serve world")
+            break
+        except Exception as e:  # noqa: BLE001
+            if not _is_oom(e) or TENANTS <= 2:
+                raise
+            degraded_from = degraded_from or TENANTS
+            TENANTS -= 2
+            log(f"  still RESOURCE_EXHAUSTED after retries — degrading "
+                f"to T={TENANTS} (recorded in JSON as degraded_from)")
+    tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
 
     def ours_step(p, d, tokens, cache):
         return llama.decode_step(cfg, p, tokens, cache, deltas=d,
@@ -374,8 +444,8 @@ def main():
 
     # ---- phase 3: naive bf16 (per-tenant dense fine-tunes) ----------
     log("building naive bf16 single model ...")
-    params = build_naive_params(cfg)
-    jax.block_until_ready(params)
+    params = build_resilient(lambda: build_naive_params(cfg),
+                             "naive bf16 model")
 
     def naive_step(p, _unused, tokens, cache):
         # same kernel policy as ours (incl. flash decode attention) —
@@ -425,6 +495,9 @@ def main():
     if engine_tok_s is not None:
         out["engine_tok_s"] = round(engine_tok_s, 1)
         out["engine_vs_raw_chain"] = round(engine_tok_s / toks_ours, 3)
+    if degraded_from is not None:
+        # Pooled-chip HBM was short even after retries; T was reduced.
+        out["degraded_from_tenants"] = degraded_from
     print(json.dumps(out))
 
 
