@@ -35,6 +35,13 @@ def add_train_args(p: argparse.ArgumentParser):
                    help="also 1-bit-compress embeddings and lm_head "
                         "against the base (requires matching vocab; "
                         "beyond-reference — its stated future work)")
+    p.add_argument("--zero_sign", type=str, default="positive",
+                   choices=("positive", "balance"),
+                   help="sign bit for exact-zero deltas: 'positive' = "
+                        "reference parity (all +1); 'balance' = "
+                        "checkerboard +-1, removes the coherent "
+                        "+scale*n_zeros column bias on bf16 fine-tunes "
+                        "that barely moved from the base")
     p.add_argument("--quantize_base", type=str, default=None,
                    choices=("int8", "int4"),
                    help="W8+W1 / W4+W1: quantize the base projections "

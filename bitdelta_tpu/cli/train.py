@@ -82,10 +82,12 @@ def main(argv=None):
     print("compressing diff...", flush=True)
     if is_mixtral:  # attn + experts + router (+ embed/head) deltas
         comp = model_mod.compress_mixtral(
-            base, fine, compress_embeddings=args.compress_embeddings)
+            base, fine, compress_embeddings=args.compress_embeddings,
+            zero_sign=args.zero_sign)
     else:
         comp = compress_model(base, fine,
-                              compress_embeddings=args.compress_embeddings)
+                              compress_embeddings=args.compress_embeddings,
+                              zero_sign=args.zero_sign)
     if mesh is not None:
         from ..parallel import sharding as psh
         comp = comp._replace(

@@ -48,16 +48,22 @@ class CompressedModel(NamedTuple):
 
 
 def compress_model(base_params: Params, finetuned_params: Params, *,
-                   compress_embeddings: bool = False) -> CompressedModel:
+                   compress_embeddings: bool = False,
+                   zero_sign: str = "positive") -> CompressedModel:
     """For the W8+W1 recipe (the reference's quantized-base ablation,
     docs/index.html:419-457), round-trip the base through
     ``research.quantized_base.quantize_base_projections`` /
     ``dequantize_base_projections`` BEFORE calling this (cli/train.py
     does) — then deltas, distillation and int8-base serving all see the
-    same base weights."""
+    same base weights.
+
+    ``zero_sign="balance"`` decorrelates exact-zero deltas (see
+    ``quantize_delta``) — recommended for bf16 fine-tunes that barely
+    moved from the base; default keeps reference sign parity."""
     deltas = {
         name: quantize_delta(base_params["layers"][name],
-                             finetuned_params["layers"][name])
+                             finetuned_params["layers"][name],
+                             zero_sign=zero_sign)
         for name in PROJ_NAMES
     }
     extras: Dict[str, Any] = {

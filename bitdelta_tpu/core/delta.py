@@ -78,7 +78,8 @@ def pair_delta(delta: BinaryDelta) -> PairedBinaryDelta:
                              scale=jnp.asarray(delta.scale, jnp.float32))
 
 
-def quantize_delta(base: jax.Array, finetune: jax.Array) -> BinaryDelta:
+def quantize_delta(base: jax.Array, finetune: jax.Array, *,
+                   zero_sign: str = "positive") -> BinaryDelta:
     """Quantize ``finetune - base`` to 1 bit + fp32 scale.
 
     Matches reference semantics (diff.py:11-16): scale is ``mean(|diff|)``
@@ -88,10 +89,29 @@ def quantize_delta(base: jax.Array, finetune: jax.Array) -> BinaryDelta:
     Args:
       base, finetune: ``(K, N)`` (or stacked ``(L, K, N)``) matrices in
         kernel layout.
+      zero_sign: sign bit assigned to EXACT-zero diffs.
+        ``"positive"`` (default) — reference parity, ``diff >= 0`` → +1.
+        ``"balance"`` — checkerboard ±1 by (k+n) parity. bf16 fine-tunes
+        leave a large fraction of deltas exactly 0 (optimizer updates
+        below the local ULP round away — ~9% on a 0.02-sigma synthetic
+        perturbation); mapping them all to +1 adds a coherent
+        ``+scale * n_zeros`` bias to every output column, which the
+        checkerboard decorrelates to O(sqrt(n_zeros)) noise. Same 1-bit
+        artifact format — this is an encoder-side choice; every decoder
+        (XLA, Pallas, dense fusion, reference ``load_diff``) works
+        unchanged.
     """
     diff = finetune.astype(jnp.float32) - base.astype(jnp.float32)
     scale = jnp.mean(jnp.abs(diff), axis=(-2, -1))
-    signs = diff >= 0
+    if zero_sign == "balance":
+        k, n = diff.shape[-2], diff.shape[-1]
+        checker = ((jnp.arange(k)[:, None] + jnp.arange(n)[None, :])
+                   % 2) == 0
+        signs = jnp.where(diff == 0, checker, diff > 0)
+    elif zero_sign == "positive":
+        signs = diff >= 0
+    else:
+        raise ValueError(f"unknown zero_sign: {zero_sign!r}")
     return BinaryDelta(packed=pack_signs(signs), scale=scale)
 
 

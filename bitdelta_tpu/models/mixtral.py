@@ -396,7 +396,8 @@ def init_params(cfg: MixtralConfig, key: jax.Array,
 
 
 def compress_mixtral(base_params, finetuned_params, *,
-                     compress_embeddings: bool = False):
+                     compress_embeddings: bool = False,
+                     zero_sign: str = "positive"):
     """1-bit fine-tune delta for every attention proj, expert matrix and
     the router; extras = embeddings/norms/head (fine-tuned values).
     ``compress_embeddings=True``: embed/lm_head become 1-bit deltas
@@ -407,7 +408,8 @@ def compress_mixtral(base_params, finetuned_params, *,
     deltas = {}
     for name in ATTN_PROJS + EXPERT_MATS + ("router",):
         deltas[name] = quantize_delta(base_params["layers"][name],
-                                      finetuned_params["layers"][name])
+                                      finetuned_params["layers"][name],
+                                      zero_sign=zero_sign)
     extras = {
         "final_norm": finetuned_params["final_norm"],
         "attn_norm": finetuned_params["layers"]["attn_norm"],

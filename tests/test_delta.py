@@ -114,3 +114,45 @@ def test_scale_gradient_flows():
     y = np.asarray(x) @ (np.asarray(base) + float(d.scale) * signs)
     expect = 2.0 * np.sum(y * (np.asarray(x) @ signs))
     np.testing.assert_allclose(float(g), expect, rtol=1e-4)
+
+
+def test_zero_sign_balance_removes_coherent_bias():
+    """bf16 fine-tunes leave many deltas EXACTLY zero (updates below the
+    local ULP round away); reference parity maps them all to +1, adding
+    a coherent +scale*n_zeros bias to every output column under an
+    all-ones probe. zero_sign='balance' checkerboards the tie-break and
+    must (a) keep nonzero-delta bits identical and (b) shrink that bias
+    by ~sqrt(n_zeros)."""
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((512, 256)).astype(np.float32)
+    diff = rng.standard_normal((512, 256)).astype(np.float32) * 0.02
+    diff[rng.random((512, 256)) < 0.3] = 0.0  # 30% untouched weights
+    fine = base + diff
+
+    d_pos = quantize_delta(jnp.asarray(base), jnp.asarray(fine))
+    d_bal = quantize_delta(jnp.asarray(base), jnp.asarray(fine),
+                           zero_sign="balance")
+    np.testing.assert_allclose(float(d_pos.scale), float(d_bal.scale))
+
+    # Nonzero entries quantize identically under both modes.
+    dq_pos = np.asarray(dequantize_delta(d_pos))
+    dq_bal = np.asarray(dequantize_delta(d_bal))
+    nz = diff != 0
+    np.testing.assert_array_equal(dq_pos[nz], dq_bal[nz])
+
+    # Column bias of the quantized delta restricted to zero positions:
+    # all +scale under reference parity, ~zero-mean under balance.
+    x = np.ones((1, 512), np.float32)
+    err_pos = np.abs(x @ (dq_pos - diff)).mean()
+    err_bal = np.abs(x @ (dq_bal - diff)).mean()
+    n_zero_col = (~nz).sum(axis=0).mean()
+    assert err_pos > float(d_pos.scale) * n_zero_col * 0.5  # coherent
+    assert err_bal < err_pos * 0.35, (err_bal, err_pos)
+
+
+def test_zero_sign_default_is_reference_parity():
+    base = jnp.zeros((32, 32), jnp.float32)
+    fine = jnp.zeros((32, 32), jnp.float32)  # all-zero diff
+    d = quantize_delta(base, fine)
+    # diff >= 0 everywhere -> every packed word is all-ones (-1 int32).
+    assert np.all(np.asarray(d.packed) == -1)
