@@ -464,7 +464,8 @@ def main():
     log("quantizing naive model to W8 (layer-wise) ...")
     del run_n, cache_n, tok_n
     gc.collect()
-    params = quantize_naive_w8(params, cfg)
+    params = build_resilient(lambda: quantize_naive_w8(params, cfg),
+                             "naive W8 model")
     run_n8, cache_n8, tok_n8 = make_chained(cfg, kernel, naive_step, 1)
     t_w8, _ = timed(run_n8, params, None, cache_n8, tok_n8)
     log(f"  naive W8:   {t_w8*1e3:.2f} ms/model-step x {TENANTS} = "

@@ -84,10 +84,12 @@ def compress_model(base_params: Params, finetuned_params: Params, *,
         # embed delta is quantized transposed, (V, D) -> (D, V).
         deltas["embed"] = quantize_delta(
             jnp.swapaxes(base_params["embed"], -1, -2),
-            jnp.swapaxes(finetuned_params["embed"], -1, -2))
+            jnp.swapaxes(finetuned_params["embed"], -1, -2),
+            zero_sign=zero_sign)
         if "lm_head" in finetuned_params:
             deltas["lm_head"] = quantize_delta(base_params["lm_head"],
-                                               finetuned_params["lm_head"])
+                                               finetuned_params["lm_head"],
+                                               zero_sign=zero_sign)
     else:
         extras["embed"] = finetuned_params["embed"]
         if "lm_head" in finetuned_params:

@@ -31,7 +31,11 @@ from ..ops.packing import pack_signs, unpack_to_pm1
 class BinaryDelta(NamedTuple):
     """Packed 1-bit delta for one weight matrix (or a stack of them).
 
-    packed: int32 ``(*, K//32, N)`` sign bits (bit 1 <=> delta >= 0).
+    packed: int32 ``(*, K//32, N)`` sign bits: bit 1 <=> delta > 0,
+            bit 0 <=> delta < 0; EXACT-zero deltas carry whatever bit
+            the encoder's ``zero_sign`` policy chose (all-ones under the
+            default reference parity — see ``quantize_delta``). Decoders
+            never need to know: a bit is always decoded as ±1·scale.
     scale:  fp32 ``(*,)``-shaped per-matrix scale (trainable leaf during
             scale distillation; the reference's ``coeff``, diff.py:18-30).
     """
@@ -82,9 +86,10 @@ def quantize_delta(base: jax.Array, finetune: jax.Array, *,
                    zero_sign: str = "positive") -> BinaryDelta:
     """Quantize ``finetune - base`` to 1 bit + fp32 scale.
 
-    Matches reference semantics (diff.py:11-16): scale is ``mean(|diff|)``
-    computed in fp32; sign bit is 1 exactly when ``diff >= 0`` (zero maps
-    to +1).
+    Under the default ``zero_sign="positive"`` this matches reference
+    semantics exactly (diff.py:11-16): scale is ``mean(|diff|)`` computed
+    in fp32; sign bit is 1 exactly when ``diff >= 0`` (zero maps to +1).
+    ``zero_sign="balance"`` changes ONLY the bits at exact-zero diffs.
 
     Args:
       base, finetune: ``(K, N)`` (or stacked ``(L, K, N)``) matrices in

@@ -425,10 +425,12 @@ def compress_mixtral(base_params, finetuned_params, *,
             raise ValueError("base and fine-tune disagree on tied lm_head")
         deltas["embed"] = quantize_delta(
             jnp.swapaxes(base_params["embed"], -1, -2),
-            jnp.swapaxes(finetuned_params["embed"], -1, -2))
+            jnp.swapaxes(finetuned_params["embed"], -1, -2),
+            zero_sign=zero_sign)
         if "lm_head" in finetuned_params:
             deltas["lm_head"] = quantize_delta(base_params["lm_head"],
-                                               finetuned_params["lm_head"])
+                                               finetuned_params["lm_head"],
+                                               zero_sign=zero_sign)
     else:
         extras["embed"] = finetuned_params["embed"]
         if "lm_head" in finetuned_params:

@@ -339,3 +339,42 @@ def test_mixtral_compressed_embeddings_serving(hf_mixtral):
             ids.append(nxt)
         assert outs[t] == manual, f"tenant {t}"
     assert outs[0] != outs[1]
+
+
+def test_mixtral_sliding_window_flash_decode_matches_xla(hf_mixtral):
+    """The Mixtral flash-decode wiring under a real sliding window
+    (reference Mistral-MoE configs ship sliding_window=4096): decode
+    PAST the window so the kernel's live-block windowing actually bites,
+    and logits must match the XLA masked-attention path step by step."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    hf_cfg, model = hf_mixtral
+    cfg = mx.MixtralConfig.from_hf_config(hf_cfg)
+    cfg = dataclasses.replace(cfg, sliding_window=4)
+    base = mx.params_from_torch_mixtral(cfg, model, jnp.float32)
+    comp = mx.compress_mixtral(base, _finetune(base, 77))
+    sp = mx.mixtral_student_params(base, comp)
+
+    rng = np.random.default_rng(3)
+    full = rng.integers(0, 96, (2, 12), dtype=np.int64)
+    prompt_len = 3
+    lengths = jnp.asarray([prompt_len, prompt_len], jnp.int32)
+    _, cache = mx.forward(cfg, sp, jnp.asarray(full[:, :prompt_len]),
+                          lengths=lengths, deltas=comp.deltas,
+                          compute_dtype=jnp.float32,
+                          return_cache=True, cache_max_seq=16)
+    cache_p = cache
+    for i in range(prompt_len, full.shape[1]):  # crosses length > window
+        tok = jnp.asarray(full[:, i:i + 1])
+        want, cache = mx.decode_step(cfg, sp, tok, cache,
+                                     deltas=comp.deltas,
+                                     compute_dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got, cache_p = mx.decode_step(cfg, sp, tok, cache_p,
+                                          deltas=comp.deltas,
+                                          compute_dtype=jnp.float32,
+                                          kernel="pallas")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-4)
