@@ -385,3 +385,41 @@ def test_w4_pallas_mesh_rejected():
     with pytest.raises(ValueError, match="int4"):
         Engine(cfg, stack, max_slots=2, max_seq=64, prefill_buckets=(16,),
                kernel="pallas", mesh=mesh)
+
+
+def test_column_scale_beats_global_scale():
+    """Per-column mean|diff| is the L2-optimal 1-bit scale per column,
+    so Frobenius reconstruction error must be <= the global-coeff
+    BinaryDelta on ANY delta, and strictly better when column
+    magnitudes vary."""
+    from bitdelta_tpu.core.delta import quantize_delta, dequantize_delta
+    from bitdelta_tpu.research.variants import (
+        ColumnScaleDelta, apply_column, column_delta_linear,
+        dequantize_column, quantize_column)
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((256, 128)).astype(np.float32)
+    # Column-varying delta magnitude (real fine-tunes concentrate change
+    # in a subset of output features).
+    col_mag = (0.002 + 0.05 * rng.random(128)).astype(np.float32)
+    diff = rng.standard_normal((256, 128)).astype(np.float32) * col_mag
+    fine = base + diff
+
+    d_glob = quantize_delta(jnp.asarray(base), jnp.asarray(fine))
+    d_col = quantize_column(jnp.asarray(base), jnp.asarray(fine))
+    assert d_col.scale.shape == (128,)
+    # Same sign plane.
+    np.testing.assert_array_equal(np.asarray(d_col.packed),
+                                  np.asarray(d_glob.packed))
+
+    err_glob = np.linalg.norm(np.asarray(dequantize_delta(d_glob)) - diff)
+    err_col = np.linalg.norm(np.asarray(dequantize_column(d_col)) - diff)
+    assert err_col < err_glob * 0.9, (err_col, err_glob)
+
+    # Fused-dense and linear paths agree.
+    fused = np.asarray(apply_column(jnp.asarray(base), d_col))
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    y = np.asarray(column_delta_linear(x, jnp.asarray(base), d_col,
+                                       compute_dtype=jnp.float32))
+    np.testing.assert_allclose(y, np.asarray(x) @ fused, rtol=2e-5,
+                               atol=2e-5)
