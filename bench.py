@@ -157,12 +157,13 @@ def rand_bits(key, shape, dtype=jnp.int32):
     return out
 
 
-def build_cfg():
+def build_cfg(num_layers=None):
     shrink = int(os.environ.get("BENCH_SHRINK", "1"))  # smoke divisor
     return ModelConfig(vocab_size=32000 // shrink // 256 * 256,
                        hidden_size=4096 // shrink,
                        intermediate_size=14336 // shrink // 256 * 256,
-                       num_layers=NUM_LAYERS,
+                       num_layers=NUM_LAYERS if num_layers is None
+                       else num_layers,
                        num_heads=max(32 // shrink, 1),
                        num_kv_heads=max(8 // shrink, 1),
                        max_seq_len=MAX_SEQ, sliding_window=4096)
@@ -434,8 +435,19 @@ def main():
     log(f"null-call floor: {_FLOOR*1e3:.1f} ms (subtracted)")
 
     # ---- phase 1: ours (full model, W8 base + W1 pair deltas) --------
+    # Salvage ladder for a leaked/contended pooled chip: shed tenants
+    # first (T is the headline axis, keep it honest), then halve layers
+    # with tenants restored — an annotated 16L measurement beats an
+    # ERROR record. Anything below candidates[0] is marked degraded.
+    L0, T0 = NUM_LAYERS, TENANTS
+    candidates = [(L0, T0)]
+    candidates += [(L0, t) for t in (4, 2) if t < T0]
+    if L0 >= 16:
+        candidates += [(L0 // 2, T0), (L0 // 2, 2), (L0 // 4, T0)]
     degraded_from = None
-    while True:
+    for li, ti in candidates:
+        TENANTS = ti
+        cfg = build_cfg(li)
         log(f"building serve world: {cfg.num_layers}L x {TENANTS} "
             f"tenants, W8 base + W1 deltas + 1-bit heads ...")
         try:
@@ -443,12 +455,11 @@ def main():
                 lambda: build_serve_world(cfg), "serve world")
             break
         except Exception as e:  # noqa: BLE001
-            if not _is_oom(e) or TENANTS <= 2:
+            if not _is_oom(e) or (li, ti) == candidates[-1]:
                 raise
-            degraded_from = degraded_from or TENANTS
-            TENANTS -= 2
-            log(f"  still RESOURCE_EXHAUSTED after retries — degrading "
-                f"to T={TENANTS} (recorded in JSON as degraded_from)")
+            degraded_from = degraded_from or (L0, T0)
+            log("  still RESOURCE_EXHAUSTED after retries — degrading "
+                "(recorded in JSON as degraded_from)")
     tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
 
     def ours_step(p, d, tokens, cache):
@@ -530,8 +541,11 @@ def main():
         out["engine_tok_s"] = round(engine_tok_s, 1)
         out["engine_vs_raw_chain"] = round(engine_tok_s / toks_ours, 3)
     if degraded_from is not None:
-        # Pooled-chip HBM was short even after retries; T was reduced.
-        out["degraded_from_tenants"] = degraded_from
+        # Pooled-chip HBM was short even after retries; the config was
+        # reduced — value/unit reflect what actually ran.
+        out["degraded_from_layers"], out["degraded_from_tenants"] = \
+            degraded_from
+        out["num_layers"], out["tenants"] = cfg.num_layers, TENANTS
     print(json.dumps(out))
 
 
