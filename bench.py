@@ -443,7 +443,8 @@ def main():
     candidates = [(L0, T0)]
     candidates += [(L0, t) for t in (4, 2) if t < T0]
     if L0 >= 16:
-        candidates += [(L0 // 2, T0), (L0 // 2, 2), (L0 // 4, T0)]
+        candidates += [(L0 // 2, T0), (L0 // 2, 2), (L0 // 4, T0),
+                       (L0 // 4, 2)]
     degraded_from = None
     for li, ti in candidates:
         TENANTS = ti
