@@ -11,8 +11,12 @@ JAX counterparts of the reference's experimental compressors:
     rather than the mean (reference notebooks/compression_ternary.ipynb;
     docs/index.html:459-476 "varying the fidelity of the delta").
 
+  * :class:`ColumnScaleDelta` — 1-bit signs with per-output-column
+    scales (scale-resolution ablation; beyond-reference, see class doc).
+
 Each variant provides quantize / dequantize / apply so it can slot into
-the same evaluation harness as the 1-bit delta.
+the same evaluation harness as the 1-bit delta, and
+:func:`fuse_variant_model` runs the whole-model ablation in one call.
 """
 
 from __future__ import annotations
@@ -171,3 +175,49 @@ def column_delta_linear(x: jax.Array, base_w: jax.Array,
                            compute_dtype=compute_dtype).astype(jnp.float32)
     y = y_base + y_sign * delta.scale[..., None, :]
     return y.astype(x.dtype)
+
+
+def fuse_variant_model(base_params, finetuned_params, kind: str, **kw):
+    """Whole-model delta-fidelity ablation: compress every projection
+    with the chosen variant and return DENSE fused params for the PPL
+    evaluator — the reference's ablation workflow (its ternary/median/
+    LoRA comparisons all evaluate through ``load_diff``-style dense
+    fusion in notebooks/compression_{ternary,lora}.ipynb) as one call.
+
+    kind: ``"binary"`` (the production 1-bit path, via core.compress),
+    ``"binary_median"``, ``"ternary"`` (``fraction=``), ``"lora"``
+    (``rank=``), or ``"column"`` (per-output-column scales).
+    Embeddings/norms/head carry fine-tuned values, matching
+    ``compress_model`` extras semantics.
+    """
+    from ..core.compress import compress_model, fuse_compressed
+    from ..models.llama import PROJ_NAMES
+
+    if kind == "binary":
+        return fuse_compressed(
+            base_params, compress_model(base_params, finetuned_params, **kw))
+
+    quantize_apply = {
+        "binary_median": (lambda b, f: quantize_ternary(
+            b, f, binary_median=True), apply_ternary),
+        "ternary": (lambda b, f: quantize_ternary(b, f, **kw),
+                    apply_ternary),
+        "lora": (lambda b, f: quantize_lora(b, f, **kw), apply_lora),
+        "column": (lambda b, f: quantize_column(b, f, **kw), apply_column),
+    }
+    if kind not in quantize_apply:
+        raise ValueError(f"unknown variant kind: {kind!r}")
+    quantize, apply_ = quantize_apply[kind]
+
+    params = dict(finetuned_params)
+    params["layers"] = dict(finetuned_params["layers"])
+    for name in PROJ_NAMES:
+        b = base_params["layers"][name]
+        f = finetuned_params["layers"][name]
+        if b.ndim == 3:  # stacked (L, K, N): variants are per-matrix
+            fused = jnp.stack([apply_(b[l], quantize(b[l], f[l]))
+                               for l in range(b.shape[0])])
+        else:
+            fused = apply_(b, quantize(b, f))
+        params["layers"][name] = fused
+    return params

@@ -423,3 +423,50 @@ def test_column_scale_beats_global_scale():
                                        compute_dtype=jnp.float32))
     np.testing.assert_allclose(y, np.asarray(x) @ fused, rtol=2e-5,
                                atol=2e-5)
+
+
+def test_fuse_variant_model_ablation_ladder():
+    """One-call delta-fidelity ablation (the reference's notebook
+    workflow): every variant must produce a servable dense model whose
+    PPL sits between the base and the fine-tune, and exact-SVD LoRA at
+    full rank must reproduce the fine-tune exactly."""
+    from bitdelta_tpu.eval.ppl import eval_ppl, tokenize_corpus
+    from bitdelta_tpu.models import llama as jl
+    from bitdelta_tpu.models import config as cfgs
+    from bitdelta_tpu.research.variants import fuse_variant_model
+    from bitdelta_tpu.serving.server import ByteTokenizer
+
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_vocab_growth import MULTILINGUAL_TEXTS, _finetune_on_corpus
+
+    tok = ByteTokenizer()
+    ids = tokenize_corpus(tok, MULTILINGUAL_TEXTS)
+    cfg = cfgs.tiny_test_config(vocab_size=tok.vocab_size + 2,
+                                hidden_size=64, intermediate_size=128,
+                                num_layers=2, num_heads=4, num_kv_heads=2,
+                                dtype="float32")
+    base = jl.init_params(cfg, jax.random.PRNGKey(1), jnp.float32,
+                          scale=0.25)
+    fine = _finetune_on_corpus(cfg, base, ids, steps=40, lr=1e-3)
+
+    kw = dict(context_size=64, window_size=32, compute_dtype=jnp.float32)
+    ppl_base = eval_ppl(cfg, base, ids, **kw)
+    ppl_fine = eval_ppl(cfg, fine, ids, **kw)
+    assert ppl_fine < ppl_base
+
+    ppls = {}
+    for kind, vkw in [("binary", {}), ("binary_median", {}),
+                      ("ternary", dict(fraction=0.5)),
+                      ("lora", dict(rank=8)), ("column", {})]:
+        fused = fuse_variant_model(base, fine, kind, **vkw)
+        ppls[kind] = eval_ppl(cfg, fused, ids, **kw)
+        # Every fidelity level keeps some of the fine-tune's gain.
+        assert ppls[kind] < ppl_base, (kind, ppls[kind], ppl_base)
+
+    # Full-rank exact-SVD LoRA IS the fine-tune.
+    full = fuse_variant_model(base, fine, "lora", rank=64)
+    np.testing.assert_allclose(eval_ppl(cfg, full, ids, **kw), ppl_fine,
+                               rtol=1e-4)
+    # Per-column scales never lose to the single coeff.
+    assert ppls["column"] <= ppls["binary"] * 1.02, ppls
