@@ -61,4 +61,8 @@ def __getattr__(name):
                 "roundtrip_base"):
         from .research import quantized_base
         return getattr(quantized_base, name)
+    if name in ("ColumnScaleDelta", "LoRADelta", "TernaryDelta",
+                "fuse_variant_model"):
+        from .research import variants
+        return getattr(variants, name)
     raise AttributeError(name)
