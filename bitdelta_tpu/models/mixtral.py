@@ -28,7 +28,7 @@ from .config import ModelConfig
 from .llama import (KVCache, _attention, _embed_lookup, _final_norm_w,
                     _lm_head_logits, _proj, apply_rope, rms_norm,
                     rope_tables)
-from ..core.delta import BinaryDelta, quantize_delta
+from ..core.delta import BinaryDelta, PairedBinaryDelta, quantize_delta
 from ..ops.binary_matmul import binary_matmul, tenant_binary_matmul
 
 import dataclasses
@@ -80,6 +80,69 @@ def _delta_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
                                compute_dtype=compute_dtype)
         y = y + yd.astype(jnp.float32)
     return y.astype(compute_dtype)
+
+
+def _unpair(delta):
+    """Pair-layout deltas (serving stacks, stacking.to_pair_layout) fall
+    back to canonical words for the dense/prefill paths — a cheap word
+    shuffle, same trick as llama._proj."""
+    if isinstance(delta, PairedBinaryDelta):
+        from ..ops.packing import unpair_packed
+
+        return BinaryDelta(packed=unpair_packed(delta.packed_pairs),
+                           scale=delta.scale)
+    return delta
+
+
+def _flatten_stack(delta, lead: int):
+    """Merge the leading ``lead`` stack axes of every delta leaf into one
+    (e.g. (T, E, ...) -> (T*E, ...)) so the tenant kernels' single stack
+    axis can route (tenant, expert) pairs."""
+    if lead == 1:
+        return delta
+    return jax.tree.map(
+        lambda l: l.reshape((-1,) + l.shape[lead:]), delta)
+
+
+def _routed_expert_delta(x_rows, delta, flat_ids, compute_dtype,
+                         kernel: str = "xla"):
+    """Delta matmul for routed (row, expert) pairs — the Mixtral decode
+    hot path.
+
+    Instead of materializing dense ±1 signs for every (row, expert)
+    pair (the (B, E, K, N) einsum BENCHNOTES measured at ~12x the
+    kernel cost), each ROUTED pair streams only its packed words
+    through the same tenant-indexed kernels llama serving uses: the
+    (tenant, expert) pair is flattened into the kernels' stack axis and
+    selected per row by scalar prefetch (Pallas) or a packed-word
+    gather (XLA). Work scales with B*top_k, not B*E.
+
+    Args: x_rows ``(R, K)``; ``delta`` leaves lead with ONE flattened
+    stack axis G; flat_ids ``(R,)`` int32 in [0, G). Returns ``(R, N)``
+    fp32.
+    """
+    if isinstance(delta, PairedBinaryDelta):
+        if kernel == "pallas":
+            from ..ops.pallas_binary_gemm import \
+                tenant_delta_matmul_pair_pallas
+
+            colsum = delta.colsum
+            if colsum.ndim == delta.packed_pairs.ndim:  # per-K-shard (TP)
+                colsum = colsum[..., 0, :]
+            return tenant_delta_matmul_pair_pallas(
+                x_rows.astype(compute_dtype), delta.packed_pairs,
+                colsum, delta.scale, flat_ids, out_dtype=jnp.float32)
+        delta = _unpair(delta)
+    if kernel == "pallas":
+        from ..ops.pallas_binary_gemm import tenant_delta_matmul_pallas
+
+        return tenant_delta_matmul_pallas(
+            x_rows.astype(compute_dtype), delta.packed, delta.scale,
+            flat_ids, out_dtype=jnp.float32)
+    y = tenant_binary_matmul(x_rows[:, None, :], delta.packed,
+                             delta.scale, flat_ids,
+                             compute_dtype=compute_dtype)
+    return y[:, 0].astype(jnp.float32)
 
 
 def _expert_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
@@ -135,6 +198,7 @@ def _expert_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
         return y.reshape(e, b, s, n).transpose(1, 2, 0, 3)
 
     y = contract(w.astype(compute_dtype), batched=False)
+    delta = _unpair(delta)
     if delta is not None:
         from ..ops.packing import unpack_to_pm1
 
@@ -150,7 +214,8 @@ def _expert_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
     return y.astype(compute_dtype)
 
 
-def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None):
+def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None,
+             kernel: str = "xla"):
     """Top-k routed SwiGLU: x ``(B, S, D)``; expert weights
     ``w1/w3 (E, D, I)``, ``w2 (E, I, D)``; router ``(D, E)``. With
     ``tenant_ids``, deltas are tenant-stacked ``(T, ...)`` and routed
@@ -180,6 +245,56 @@ def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None):
         jnp.arange(b)[:, None, None],
         jnp.arange(s)[None, :, None], topi].set(gates)
 
+    if s == 1 and any(d.get(m) is not None for m in EXPERT_MATS):
+        # Routed delta decode path: the BASE still evaluates densely
+        # over experts (decode is HBM-bound and the tenant batch's
+        # top-k union touches every expert, so all E base weights
+        # stream regardless), but the per-(row, expert) 1-bit deltas
+        # run ONLY for the top_k ROUTED experts via the tenant kernels
+        # with (tenant, expert) flattened into their stack axis —
+        # B*top_k packed streams instead of a dense (B, E, K, N) sign
+        # materialization. Unrouted experts' missing deltas are masked
+        # by their zero routing weight in the combine.
+        lead = 1 if tenant_ids is None else 2
+        ti = topi[:, 0, :]                                    # (B, k)
+        if tenant_ids is None:
+            flat_ids = ti.reshape(-1)
+        else:
+            flat_ids = (tenant_ids[:, None] * e + ti).reshape(-1)
+        onehot = (ti[..., None] == jnp.arange(e)).astype(jnp.float32)
+
+        def routed(rows, name):                      # rows (B*k, K)
+            dd = _flatten_stack(d[name], lead)
+            yd = _routed_expert_delta(rows, dd, flat_ids, compute_dtype,
+                                      kernel)
+            return yd.reshape(b, topk, -1)           # (B, k, N)
+
+        x0 = x[:, 0]                                          # (B, D)
+        xrows = jnp.repeat(x0, topk, axis=0)
+        h1 = _expert_matmul(x, p["w1"], None, compute_dtype,
+                            tenant_ids).astype(jnp.float32)   # (B,1,E,I)
+        h3 = _expert_matmul(x, p["w3"], None, compute_dtype,
+                            tenant_ids).astype(jnp.float32)
+        if d.get("w1") is not None:
+            h1 += jnp.einsum("bke,bki->bei", onehot,
+                             routed(xrows, "w1"))[:, None]
+        if d.get("w3") is not None:
+            h3 += jnp.einsum("bke,bki->bei", onehot,
+                             routed(xrows, "w3"))[:, None]
+        h = (jax.nn.silu(h1).astype(compute_dtype)
+             * h3.astype(compute_dtype))                      # (B,1,E,I)
+        out = _expert_matmul(h, p["w2"], None, compute_dtype,
+                             tenant_ids)                      # (B,1,E,D)
+        y = jnp.einsum("bsed,bse->bsd", out.astype(jnp.float32), weight)
+        if d.get("w2") is not None:
+            # Each routed pair's w2 input is ITS expert's intermediate.
+            x2 = jnp.take_along_axis(
+                h[:, 0], ti[:, :, None],
+                axis=1).reshape(b * topk, -1)                 # (B*k, I)
+            yd2 = routed(x2, "w2")                            # (B, k, D)
+            y += jnp.einsum("bkd,bk->bd", yd2, gates[:, 0])[:, None]
+        return y.astype(compute_dtype)
+
     h1 = _expert_matmul(x, p["w1"], d.get("w1"), compute_dtype,
                         tenant_ids)                              # (B,S,E,I)
     h3 = _expert_matmul(x, p["w3"], d.get("w3"), compute_dtype,
@@ -201,9 +316,11 @@ def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
 
     ``kernel="pallas"``: the four ATTENTION projections dispatch through
     llama's ``_proj`` (pair-packed / bit-plane VPU delta kernels on
-    decode shapes — the same hot path llama serving uses); the expert
-    matmuls and router stay on the vectorized XLA lowering (a Pallas
-    expert kernel would have to route the E axis in-kernel — unbuilt)."""
+    decode shapes — the same hot path llama serving uses); at decode the
+    EXPERT deltas run only for the routed top-k experts through the same
+    tenant kernels (``_moe_ffn``'s routed branch — (tenant, expert)
+    flattened into the kernels' stack axis); the router and the prefill
+    expert path stay on the vectorized XLA lowering."""
     b, sq, _ = x.shape
 
     def norm_w(w):
@@ -247,7 +364,8 @@ def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
         attn = _attention(cfg, q, k_all, v_all, positions, kv_valid)
     x = x + attn_proj(attn, "o_proj")
     h = rms_norm(x, norm_w(p["mlp_norm"]), cfg.rms_norm_eps)
-    x = x + _moe_ffn(cfg, compute_dtype, h, p, d, tenant_ids)
+    x = x + _moe_ffn(cfg, compute_dtype, h, p, d, tenant_ids,
+                     kernel=kernel)
     return x, cache_k, cache_v
 
 

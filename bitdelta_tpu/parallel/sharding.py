@@ -189,15 +189,28 @@ def serving_delta_specs(deltas) -> Dict[str, Any]:
             else:
                 out[name] = BinaryDelta(
                     packed=P(None, None, MODEL_AXIS, None), scale=P())
-        # Mixtral (XLA serving path — never paired): tenant-stacked
-        # expert deltas ``(L, T, E, K//32, N)`` shard like their expert
-        # matrices; the router delta ``(L, T, D//32, E)`` replicates.
+        # Mixtral: tenant-stacked expert deltas ``(L, T, E, K//32, N)``
+        # (canonical) / ``(L, T, E, K//16, N//2)`` (pair serving layout)
+        # shard like their expert matrices; the router delta
+        # ``(L, T, D//32, E)`` replicates.
         elif name in EXPERT_COLUMN_PARALLEL:
-            out[name] = BinaryDelta(
-                packed=P(None, None, None, None, MODEL_AXIS), scale=P())
+            out[name] = (PairedBinaryDelta(
+                packed_pairs=P(None, None, None, None, MODEL_AXIS),
+                colsum=P(None, None, None, MODEL_AXIS), scale=P())
+                if paired else BinaryDelta(
+                    packed=P(None, None, None, None, MODEL_AXIS),
+                    scale=P()))
         elif name in EXPERT_ROW_PARALLEL:
-            out[name] = BinaryDelta(
-                packed=P(None, None, None, MODEL_AXIS, None), scale=P())
+            if paired:
+                cspec = (P(None, None, None, MODEL_AXIS, None)
+                         if d.colsum.ndim == 5 else P())
+                out[name] = PairedBinaryDelta(
+                    packed_pairs=P(None, None, None, MODEL_AXIS, None),
+                    colsum=cspec, scale=P())
+            else:
+                out[name] = BinaryDelta(
+                    packed=P(None, None, None, MODEL_AXIS, None),
+                    scale=P())
         elif name == "router":
             out[name] = BinaryDelta(packed=P(), scale=P())
         else:

@@ -144,16 +144,23 @@ def to_pair_layout(stack: TenantStack, tp: int = 1) -> TenantStack:
     k_proj at high tp) stays canonical."""
     from ..core.delta import PairedBinaryDelta, pair_delta
     from ..ops.packing import PAIR_BLOCK, column_popcount, repack_pairs
-    from ..parallel.sharding import COLUMN_PARALLEL, ROW_PARALLEL
+    from ..parallel.sharding import (COLUMN_PARALLEL,
+                                     EXPERT_COLUMN_PARALLEL,
+                                     EXPERT_ROW_PARALLEL, ROW_PARALLEL)
+
+    row_par = ROW_PARALLEL + EXPERT_ROW_PARALLEL
+    col_par = COLUMN_PARALLEL + EXPERT_COLUMN_PARALLEL + ("lm_head",)
 
     deltas = {}
     for name, d in stack.deltas.items():
         # "embed" is consumed by gather (one packed column per token),
-        # not by the matmul kernels — it stays canonical. Mixtral expert
-        # stacks and the router stay canonical too: the vectorized XLA
-        # expert path consumes BinaryDelta (only the attention
-        # projections ride the pair kernels).
-        if name in ("embed", "w1", "w3", "w2", "router"):
+        # not by the matmul kernels — it stays canonical. The Mixtral
+        # router (N = num_experts << 256 lanes) stays canonical too.
+        # Expert stacks (w1/w3/w2) pair like the llama projections:
+        # mixtral's routed decode path streams them through the pair
+        # VPU kernel with (tenant, expert) flattened into the kernel's
+        # stack axis (models/mixtral.py::_routed_expert_delta).
+        if name in ("embed", "router"):
             deltas[name] = d
             continue
         if hasattr(d, "packed_pairs"):
@@ -163,7 +170,7 @@ def to_pair_layout(stack: TenantStack, tp: int = 1) -> TenantStack:
             # the per-K-shard axis under TP: the full-K popcount
             # correction is wrong for a K slice, so rebuild it from the
             # packed words (cheap word shuffle, done once at setup).
-            if (name in ROW_PARALLEL and tp > 1
+            if (name in row_par and tp > 1
                     and d.colsum.ndim == d.packed_pairs.ndim - 1):
                 from ..ops.packing import unpair_packed
 
@@ -174,7 +181,7 @@ def to_pair_layout(stack: TenantStack, tp: int = 1) -> TenantStack:
                 deltas[name] = d
                 continue
         k32, n = d.packed.shape[-2], d.packed.shape[-1]
-        if name in ROW_PARALLEL and tp > 1:
+        if name in row_par and tp > 1:
             if n % PAIR_BLOCK or k32 % tp:
                 deltas[name] = d
                 continue
@@ -189,8 +196,7 @@ def to_pair_layout(stack: TenantStack, tp: int = 1) -> TenantStack:
         else:
             # Column-parallel (incl. lm_head): the N shard must itself
             # be pair-eligible.
-            n_local = n // tp if name in COLUMN_PARALLEL + ("lm_head",) \
-                else n
+            n_local = n // tp if name in col_par else n
             if n_local % PAIR_BLOCK == 0:
                 deltas[name] = pair_delta(d)
             else:

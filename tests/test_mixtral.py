@@ -378,3 +378,135 @@ def test_mixtral_sliding_window_flash_decode_matches_xla(hf_mixtral):
                                           kernel="pallas")
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-4)
+
+
+def _synthetic_world(num_tenants=3, intermediate=256, hidden=128):
+    """Random Mixtral world with shapes that make w1/w3 pair-ELIGIBLE
+    (I % 256 == 0) and w2 pair-INELIGIBLE (D=128 < 256), so the routed
+    decode path exercises the pair VPU kernel AND the canonical
+    bit-plane kernel in one forward."""
+    cfg = mx.MixtralConfig(
+        vocab_size=512, hidden_size=hidden, intermediate_size=intermediate,
+        num_layers=2, num_heads=4, num_kv_heads=2, max_seq_len=64,
+        num_experts=4, experts_per_token=2)
+    base = mx.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    tenants = []
+    for t in range(num_tenants):
+        fine = jax.tree.map(
+            lambda v, key=jax.random.PRNGKey(100 + t): v
+            + 0.01 * jax.random.normal(key, v.shape), base)
+        tenants.append(mx.compress_mixtral(base, fine,
+                                           compress_embeddings=True))
+    return cfg, base, tenants
+
+
+def _decode_inputs(cfg, batch):
+    cache = mx.KVCache(
+        k=jnp.zeros((cfg.num_layers, batch, 32, cfg.num_kv_heads,
+                     cfg.head_dim), jnp.float32),
+        v=jnp.zeros((cfg.num_layers, batch, 32, cfg.num_kv_heads,
+                     cfg.head_dim), jnp.float32),
+        length=jnp.full((batch,), 5, jnp.int32))
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(1, cfg.vocab_size, (batch, 1)))
+    return tokens.astype(jnp.int32), cache
+
+
+def test_mixtral_routed_expert_deltas_match_dense_fusion():
+    """The routed expert-delta decode (top-k packed streams through the
+    tenant kernels, _moe_ffn's routed branch) must equal a per-tenant
+    DENSE delta fusion — the ground truth that doesn't share any routing
+    code with the path under test."""
+    from bitdelta_tpu.core.delta import apply_delta
+    from bitdelta_tpu.serving.stacking import stack_tenants
+
+    cfg, base, tenants = _synthetic_world()
+    stack = stack_tenants(cfg, base, tenants)
+    tenant_ids = jnp.array([0, 1, 2, 1], jnp.int32)
+    tokens, cache = _decode_inputs(cfg, 4)
+    got, _ = mx.decode_step(cfg, stack.params, tokens, cache,
+                            deltas=stack.deltas, tenant_ids=tenant_ids,
+                            compute_dtype=jnp.float32, kernel="xla")
+
+    for row in range(4):
+        t = int(tenant_ids[row])
+        c = tenants[t]
+        p = dict(base)
+        p["layers"] = dict(base["layers"])
+        for name in mx.MOE_PARTS:
+            p["layers"][name] = apply_delta(base["layers"][name],
+                                            c.deltas[name])
+        p["final_norm"] = c.extras["final_norm"]
+        p["layers"]["attn_norm"] = c.extras["attn_norm"]
+        p["layers"]["mlp_norm"] = c.extras["mlp_norm"]
+        emb_d = apply_delta(
+            jnp.zeros_like(jnp.swapaxes(base["embed"], -1, -2)),
+            c.deltas["embed"])
+        p["embed"] = base["embed"] + jnp.swapaxes(emb_d, -1, -2)
+        p["lm_head"] = apply_delta(base["lm_head"], c.deltas["lm_head"])
+        cache1 = mx.KVCache(k=cache.k[:, row:row + 1],
+                            v=cache.v[:, row:row + 1],
+                            length=cache.length[row:row + 1])
+        want, _ = mx.decode_step(cfg, p, tokens[row:row + 1], cache1,
+                                 compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(got[row]),
+                                   np.asarray(want[0]),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_mixtral_routed_pallas_pair_matches_xla():
+    """Routed decode through the PAIR-packed VPU kernel (w1/w3) + the
+    canonical bit-plane kernel (w2, pair-ineligible at D=128) equals the
+    routed XLA lowering. Also asserts to_pair_layout now pairs the
+    eligible expert stacks."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bitdelta_tpu.core.delta import PairedBinaryDelta
+    from bitdelta_tpu.serving.stacking import stack_tenants, to_pair_layout
+
+    cfg, base, tenants = _synthetic_world()
+    stack = stack_tenants(cfg, base, tenants)
+    paired = to_pair_layout(stack)
+    assert isinstance(paired.deltas["w1"], PairedBinaryDelta)
+    assert isinstance(paired.deltas["w3"], PairedBinaryDelta)
+    assert not isinstance(paired.deltas["w2"], PairedBinaryDelta)
+
+    tenant_ids = jnp.array([0, 1, 2, 1], jnp.int32)
+    tokens, cache = _decode_inputs(cfg, 4)
+    ref, _ = mx.decode_step(cfg, stack.params, tokens, cache,
+                            deltas=stack.deltas, tenant_ids=tenant_ids,
+                            compute_dtype=jnp.float32, kernel="xla")
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = mx.decode_step(cfg, paired.params, tokens, cache,
+                                deltas=paired.deltas,
+                                tenant_ids=tenant_ids,
+                                compute_dtype=jnp.float32,
+                                kernel="pallas")
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale,
+                               rtol=0, atol=3e-4)
+
+
+def test_mixtral_routed_single_tenant_decode():
+    """tenant_ids=None decode also rides the routed path (stack axis =
+    experts only) and must keep matching the full forward's last-token
+    logits (no tenant flattening bugs in the single-tenant case)."""
+    cfg, base, tenants = _synthetic_world(num_tenants=1)
+    comp = tenants[0]
+    sp = mx.mixtral_student_params(base, comp)
+    rng = np.random.default_rng(7)
+    toks = rng.integers(1, cfg.vocab_size, (2, 6))
+    prompt = jnp.asarray(toks[:, :5], jnp.int32)
+    lengths = jnp.full((2,), 5, jnp.int32)
+    _, cache = mx.forward(cfg, sp, prompt, lengths=lengths,
+                          deltas=comp.deltas, compute_dtype=jnp.float32,
+                          return_cache=True, cache_max_seq=16)
+    step, _ = mx.decode_step(cfg, sp, jnp.asarray(toks[:, 5:6], jnp.int32),
+                             cache, deltas=comp.deltas,
+                             compute_dtype=jnp.float32)
+    full = mx.forward(cfg, sp, jnp.asarray(toks, jnp.int32),
+                      deltas=comp.deltas, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(step[:, 0]),
+                               np.asarray(full[:, -1]),
+                               rtol=2e-4, atol=2e-4)
