@@ -31,15 +31,27 @@ def hf_pair(tmp_path_factory):
     return str(root / "base"), str(root / "fine"), str(root)
 
 
-def test_train_cli_end_to_end(hf_pair):
+@pytest.fixture(scope="module")
+def trained_out(hf_pair):
+    """Run the train CLI once per module and return its artifact dir.
+
+    A fixture (not a test side effect) so the downstream serve/eval/
+    export tests stay runnable when the slow train test is deselected
+    (fast lane: ``-m "not slow"``)."""
     from bitdelta_tpu.cli.train import main
 
     base, fine, root = hf_pair
     out = os.path.join(root, "out")
-    main(["--base_model", base, "--finetuned_model", fine,
-          "--save_dir", out, "--num_steps", "3", "--batch_size", "2",
-          "--max_length", "16", "--dataset_name", "synthetic",
-          "--dtype", "float32", "--debug"])
+    if not os.path.exists(os.path.join(out, "diff.safetensors")):
+        main(["--base_model", base, "--finetuned_model", fine,
+              "--save_dir", out, "--num_steps", "3", "--batch_size", "2",
+              "--max_length", "16", "--dataset_name", "synthetic",
+              "--dtype", "float32", "--debug"])
+    return out
+
+
+def test_train_cli_end_to_end(hf_pair, trained_out):
+    out = trained_out
     assert os.path.exists(os.path.join(out, "diff.safetensors"))
     assert os.path.exists(os.path.join(out, "diff_untrained.safetensors"))
     assert os.path.exists(os.path.join(out, "corr_stddev.csv"))
@@ -47,7 +59,7 @@ def test_train_cli_end_to_end(hf_pair):
     assert len(losses) == 3 and all(np.isfinite(losses))
 
 
-def test_artifact_feeds_eval_and_matches_hf_fusion(hf_pair):
+def test_artifact_feeds_eval_and_matches_hf_fusion(hf_pair, trained_out):
     # Dense-fused params from the artifact must equal directly-compressed
     # fine-tune weights fused in memory.
     import jax.numpy as jnp
@@ -56,7 +68,7 @@ def test_artifact_feeds_eval_and_matches_hf_fusion(hf_pair):
     from bitdelta_tpu.models.hf_import import load_hf_params
 
     base, fine, root = hf_pair
-    out = os.path.join(root, "out")
+    out = trained_out
     cfg, base_params = load_hf_params(base, dtype=jnp.float32)
     comp, art_cfg = load_delta(os.path.join(out, "diff_untrained.safetensors"))
     assert art_cfg.num_layers == cfg.num_layers
@@ -71,11 +83,11 @@ def test_artifact_feeds_eval_and_matches_hf_fusion(hf_pair):
         np.asarray(want["layers"]["q_proj"]), rtol=1e-6)
 
 
-def test_serve_cli_smoke(hf_pair, capsys):
+def test_serve_cli_smoke(hf_pair, trained_out, capsys):
     from bitdelta_tpu.cli.serve import main
 
     base, fine, root = hf_pair
-    out = os.path.join(root, "out")
+    out = trained_out
     main(["--base_model", base,
           "--delta", f"tuned={os.path.join(out, 'diff.safetensors')}",
           "--dtype", "float32", "--kernel", "xla", "--max_seq", "64",
@@ -87,14 +99,14 @@ def test_serve_cli_smoke(hf_pair, capsys):
     assert any(l["done"] for l in lines)
 
 
-def test_serve_cli_mesh_smoke(hf_pair, capsys):
+def test_serve_cli_mesh_smoke(hf_pair, trained_out, capsys):
     # --mesh shards the whole serving stack (data axis here; the tiny
     # checkpoint's dims don't divide a model axis — TP is covered by
     # tests/test_serving_mesh.py).
     from bitdelta_tpu.cli.serve import main
 
     base, fine, root = hf_pair
-    out = os.path.join(root, "out")
+    out = trained_out
     main(["--base_model", base,
           "--delta", f"tuned={os.path.join(out, 'diff.safetensors')}",
           "--dtype", "float32", "--kernel", "xla", "--max_seq", "64",
@@ -104,11 +116,11 @@ def test_serve_cli_mesh_smoke(hf_pair, capsys):
     assert "[smoke ok]" in captured
 
 
-def test_eval_ppl_cli_offline(hf_pair, tmp_path, capsys):
+def test_eval_ppl_cli_offline(hf_pair, trained_out, tmp_path, capsys):
     from bitdelta_tpu.cli.eval_ppl import main
 
     base, fine, root = hf_pair
-    out = os.path.join(root, "out")
+    out = trained_out
     corpus = tmp_path / "corpus.txt"
     corpus.write_text("the quick brown fox jumps over the lazy dog. " * 400)
     main(["--base_model", base, "--model_diff",
@@ -120,7 +132,7 @@ def test_eval_ppl_cli_offline(hf_pair, tmp_path, capsys):
     assert np.isfinite(ppl) and ppl > 0
 
 
-def test_export_full_model_roundtrip(hf_pair, tmp_path):
+def test_export_full_model_roundtrip(hf_pair, trained_out, tmp_path):
     # save_full_model output must load back through our own HF importer
     # AND through transformers.
     import jax.numpy as jnp
@@ -130,7 +142,7 @@ def test_export_full_model_roundtrip(hf_pair, tmp_path):
     from bitdelta_tpu.models.hf_import import load_hf_params
 
     base, fine, root = hf_pair
-    out = os.path.join(root, "out")
+    out = trained_out
     cfg, base_params = load_hf_params(base, dtype=jnp.float32)
     comp, _ = load_delta(os.path.join(out, "diff.safetensors"))
     fused = fuse_compressed(base_params, comp)
