@@ -369,7 +369,13 @@ def build_naive_params(cfg):
 def quantize_naive_w8(params, cfg):
     """Leaf-wise int8 quantization with per-layer granularity (the
     vectorized quantize_int8 stages an (L, K, N) f32 temp — 7.5 GB on
-    down_proj — next to the rest of the model)."""
+    down_proj — next to the rest of the model).
+
+    MUTATES ``params`` IN PLACE (assigns each quantized projection back
+    into the caller-visible layers dict): the Int8Weight isinstance
+    check above relies on this so an OOM retry resumes from the
+    already-quantized layers instead of redoing them all. A non-mutating
+    refactor would silently break retry resumption."""
     from bitdelta_tpu.research.quantized_base import Int8Weight, quantize_int8
 
     params["layers"] = dict(params["layers"])

@@ -108,16 +108,22 @@ def quantize_delta(base: jax.Array, finetune: jax.Array, *,
     """
     diff = finetune.astype(jnp.float32) - base.astype(jnp.float32)
     scale = jnp.mean(jnp.abs(diff), axis=(-2, -1))
+    return BinaryDelta(packed=pack_signs(delta_signs(diff, zero_sign)),
+                       scale=scale)
+
+
+def delta_signs(diff: jax.Array, zero_sign: str = "positive") -> jax.Array:
+    """Boolean sign plane of a dense fp32 diff under a ``zero_sign``
+    policy (see :func:`quantize_delta`). Shared by every encoder variant
+    so the diff is materialized exactly once per call site."""
     if zero_sign == "balance":
         k, n = diff.shape[-2], diff.shape[-1]
         checker = ((jnp.arange(k)[:, None] + jnp.arange(n)[None, :])
                    % 2) == 0
-        signs = jnp.where(diff == 0, checker, diff > 0)
-    elif zero_sign == "positive":
-        signs = diff >= 0
-    else:
-        raise ValueError(f"unknown zero_sign: {zero_sign!r}")
-    return BinaryDelta(packed=pack_signs(signs), scale=scale)
+        return jnp.where(diff == 0, checker, diff > 0)
+    if zero_sign == "positive":
+        return diff >= 0
+    raise ValueError(f"unknown zero_sign: {zero_sign!r}")
 
 
 def dequantize_delta(delta: BinaryDelta, dtype=jnp.float32) -> jax.Array:

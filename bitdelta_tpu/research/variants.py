@@ -138,13 +138,18 @@ class ColumnScaleDelta(NamedTuple):
 
 def quantize_column(base: jax.Array, finetune: jax.Array, *,
                     zero_sign: str = "positive") -> ColumnScaleDelta:
-    """Per-column L2-optimal 1-bit quantization of ``finetune - base``."""
-    from ..core.delta import quantize_delta
+    """Per-column L2-optimal 1-bit quantization of ``finetune - base``.
+
+    The fp32 diff is materialized ONCE and feeds both the column scales
+    and the sign packing (going through quantize_delta would stage a
+    second full-size diff plus a thrown-away global scale)."""
+    from ..core.delta import delta_signs
+    from ..ops.packing import pack_signs
 
     diff = finetune.astype(jnp.float32) - base.astype(jnp.float32)
     scale = jnp.mean(jnp.abs(diff), axis=-2)  # (*, N)
-    packed = quantize_delta(base, finetune, zero_sign=zero_sign).packed
-    return ColumnScaleDelta(packed=packed, scale=scale)
+    return ColumnScaleDelta(packed=pack_signs(delta_signs(diff, zero_sign)),
+                            scale=scale)
 
 
 def dequantize_column(delta: ColumnScaleDelta,
@@ -185,15 +190,41 @@ def fuse_variant_model(base_params, finetuned_params, kind: str, **kw):
     fusion in notebooks/compression_{ternary,lora}.ipynb) as one call.
 
     kind: ``"binary"`` (the production 1-bit path, via core.compress),
-    ``"binary_median"``, ``"ternary"`` (``fraction=``), ``"lora"``
-    (``rank=``), or ``"column"`` (per-output-column scales).
-    Embeddings/norms/head carry fine-tuned values, matching
-    ``compress_model`` extras semantics.
+    ``"binary_median"`` (takes no extra kwargs), ``"ternary"``
+    (``fraction=``), ``"lora"`` (``rank=``), or ``"column"``
+    (per-output-column scales). Embeddings/norms/head carry fine-tuned
+    values, matching ``compress_model`` extras semantics.
+
+    Works on both param layouts: llama-family (PROJ_NAMES, stacked
+    ``(L, K, N)``) and Mixtral (attention projections + expert stacks
+    ``(L, E, K, N)`` + router — detected by the ``w1`` layer key);
+    variants quantize per matrix over all leading stack axes.
     """
     from ..core.compress import compress_model, fuse_compressed
     from ..models.llama import PROJ_NAMES
 
+    moe = "w1" in base_params["layers"]
     if kind == "binary":
+        if moe:
+            from ..models.mixtral import compress_mixtral
+
+            comp = compress_mixtral(base_params, finetuned_params, **kw)
+            params = dict(finetuned_params)
+            params["layers"] = dict(finetuned_params["layers"])
+            from ..core.delta import apply_delta
+
+            for name, d in comp.deltas.items():
+                if name == "embed":  # packed along D (compress_embeddings)
+                    emb = apply_delta(
+                        jnp.swapaxes(base_params["embed"], -1, -2), d)
+                    params["embed"] = jnp.swapaxes(emb, -1, -2)
+                elif name == "lm_head":
+                    params["lm_head"] = apply_delta(
+                        base_params["lm_head"], d)
+                else:
+                    params["layers"][name] = apply_delta(
+                        base_params["layers"][name], d)
+            return params
         return fuse_compressed(
             base_params, compress_model(base_params, finetuned_params, **kw))
 
@@ -207,17 +238,32 @@ def fuse_variant_model(base_params, finetuned_params, kind: str, **kw):
     }
     if kind not in quantize_apply:
         raise ValueError(f"unknown variant kind: {kind!r}")
+    if kind == "binary_median" and kw:
+        # A silently-dropped kwarg in an ablation tool produces wrong
+        # comparisons; binary_median is parameterless by construction.
+        raise TypeError(f"binary_median takes no extra kwargs, got "
+                        f"{sorted(kw)}")
     quantize, apply_ = quantize_apply[kind]
 
+    def per_matrix(b, f):
+        """Quantize+apply per 2-D matrix over any leading stack axes
+        (llama (L, K, N); Mixtral experts (L, E, K, N); router (L, D, E))."""
+        lead = b.shape[:-2]
+        if not lead:
+            return apply_(b, quantize(b, f))
+        bf = b.reshape((-1,) + b.shape[-2:])
+        ff = f.reshape((-1,) + f.shape[-2:])
+        fused = jnp.stack([apply_(bf[i], quantize(bf[i], ff[i]))
+                           for i in range(bf.shape[0])])
+        return fused.reshape(b.shape)
+
+    if moe:
+        from ..models.mixtral import MOE_PARTS as names
+    else:
+        names = PROJ_NAMES
     params = dict(finetuned_params)
     params["layers"] = dict(finetuned_params["layers"])
-    for name in PROJ_NAMES:
-        b = base_params["layers"][name]
-        f = finetuned_params["layers"][name]
-        if b.ndim == 3:  # stacked (L, K, N): variants are per-matrix
-            fused = jnp.stack([apply_(b[l], quantize(b[l], f[l]))
-                               for l in range(b.shape[0])])
-        else:
-            fused = apply_(b, quantize(b, f))
-        params["layers"][name] = fused
+    for name in names:
+        params["layers"][name] = per_matrix(base_params["layers"][name],
+                                            finetuned_params["layers"][name])
     return params

@@ -2,6 +2,7 @@
 Mixtral MoE deltas)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -470,3 +471,48 @@ def test_fuse_variant_model_ablation_ladder():
                                rtol=1e-4)
     # Per-column scales never lose to the single coeff.
     assert ppls["column"] <= ppls["binary"] * 1.02, ppls
+
+
+def test_fuse_variant_model_rejects_unknown_kwargs():
+    """binary_median takes no kwargs — a silently-dropped kwarg in an
+    ablation tool produces wrong comparisons (ADVICE r2)."""
+    from bitdelta_tpu.models import llama
+    from bitdelta_tpu.models.config import ModelConfig
+    from bitdelta_tpu.research.variants import fuse_variant_model
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_layers=2, num_heads=2, num_kv_heads=1,
+                      max_seq_len=32)
+    base = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    fine = jax.tree.map(lambda v: v + 0.01, base)
+    with pytest.raises(TypeError, match="binary_median takes no"):
+        fuse_variant_model(base, fine, "binary_median", fraction=0.3)
+
+
+def test_fuse_variant_model_mixtral_layout():
+    """fuse_variant_model dispatches on the param layout: Mixtral expert
+    stacks (L, E, K, N) and the router quantize per matrix over all
+    leading axes; every variant's fusion moves the weights toward the
+    fine-tune."""
+    from bitdelta_tpu.models import mixtral as mx
+    from bitdelta_tpu.research.variants import fuse_variant_model
+
+    cfg = mx.MixtralConfig(vocab_size=128, hidden_size=32,
+                           intermediate_size=64, num_layers=2, num_heads=2,
+                           num_kv_heads=1, max_seq_len=32, num_experts=2,
+                           experts_per_token=1)
+    base = mx.init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    fine = jax.tree.map(
+        lambda v: v + 0.01 * jax.random.normal(jax.random.PRNGKey(2),
+                                               v.shape), base)
+    for kind, kw in [("binary", {}), ("binary_median", {}),
+                     ("ternary", {"fraction": 0.3}), ("column", {}),
+                     ("lora", {"rank": 2})]:
+        fused = fuse_variant_model(base, fine, kind, **kw)
+        for name in ("w1", "w2", "router", "q_proj"):
+            assert fused["layers"][name].shape == base["layers"][name].shape
+            err_f = float(jnp.mean(jnp.abs(fused["layers"][name]
+                                           - fine["layers"][name])))
+            err_b = float(jnp.mean(jnp.abs(base["layers"][name]
+                                           - fine["layers"][name])))
+            assert err_f < err_b, (kind, name, err_f, err_b)
