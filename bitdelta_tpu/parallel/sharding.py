@@ -218,7 +218,8 @@ def serving_delta_specs(deltas) -> Dict[str, Any]:
     return out
 
 
-def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
+def serving_param_specs(cfg: ModelConfig, params, tp: int = 1
+                        ) -> Dict[str, Any]:
     """Specs for a TenantStack's serving params (serving/stacking.py):
     projections shard like :func:`param_specs`; tenant-stacked norms
     ``(L, T, D)`` / ``(T, D)`` replicate (tiny); per-tenant embeds
@@ -247,14 +248,23 @@ def serving_param_specs(cfg: ModelConfig, params) -> Dict[str, Any]:
         # per-output-column scale shards with N. Int4Weight (W4 base):
         # packed nibbles shard like the dense matrix (K words are
         # contiguous K rows); the per-(K-group, column) scale shards
-        # with N for column-parallel and REPLICATES for row-parallel —
-        # the grouped-K axis (K/128 entries) may not divide the model
-        # axis, and at 7B shapes the row-parallel scales total ~75 MB.
+        # with N for column-parallel and per K-GROUP for row-parallel
+        # when the group rows divide the model axis (K % (INT4_GROUP*tp)
+        # == 0 — true at every real shape: 4096/14336 K, 128 groups, tp
+        # <= 8). Per-shard scales are what let the shard_map Pallas
+        # decode run int4_matmul on purely local slices; they also stop
+        # replicating ~75 MB of row-parallel scales at 7B shapes. Pass
+        # ``tp`` to enable; misaligned worlds fall back to replication
+        # (GSPMD-correct; the engine rejects them for shard_map).
         if isinstance(w, Int8Weight):
             layers[name] = Int8Weight(q=qspec, scale=sspec)
         elif isinstance(w, Int4Weight):
-            i4_sspec = (P(None, None, MODEL_AXIS)
-                        if name in COLUMN_PARALLEL else P())
+            if name in COLUMN_PARALLEL:
+                i4_sspec = P(None, None, MODEL_AXIS)
+            elif tp > 1 and w.scale.shape[-2] % tp == 0:
+                i4_sspec = P(None, MODEL_AXIS, None)
+            else:
+                i4_sspec = P()
             layers[name] = Int4Weight(packed=qspec, scale=i4_sspec)
         else:
             layers[name] = qspec
@@ -274,7 +284,9 @@ def shard_stack(cfg: ModelConfig, stack, mesh: Mesh):
     TP/DP multi-tenant serving. Packed tenant deltas shard exactly like
     their base matrices; vocab_sizes replicate."""
     params = shard_tree(stack.params,
-                        serving_param_specs(cfg, stack.params), mesh)
+                        serving_param_specs(cfg, stack.params,
+                                            tp=mesh.shape[MODEL_AXIS]),
+                        mesh)
     deltas = shard_tree(stack.deltas, serving_delta_specs(stack.deltas),
                         mesh)
     vocab_sizes = jax.device_put(stack.vocab_sizes,

@@ -165,18 +165,24 @@ class Engine:
                   "cache per step); use kernel='pallas' on TPU for the "
                   "bandwidth win", flush=True)
         if kernel == "pallas" and multi_device:
-            from ..research.quantized_base import Int4Weight
+            from ..parallel.sharding import ROW_PARALLEL
+            from ..research.quantized_base import INT4_GROUP, Int4Weight
 
-            if any(isinstance(w, Int4Weight)
-                   for w in stack.params["layers"].values()):
-                # The shard_map per-shard body would feed int4_matmul a
-                # K-sharded packed slice with the full global grouped
-                # scale — groups misalign and logits are silently wrong.
-                raise ValueError(
-                    "W4 (int4) base + kernel='pallas' + multi-device "
-                    "mesh is not supported: grouped int4 scales don't "
-                    "slice per-shard; serve W4+TP with kernel='xla' "
-                    "(GSPMD handles the global view correctly)")
+            for name, w in stack.params["layers"].items():
+                # Row-parallel int4 scales slice per K shard (sharding.
+                # serving_param_specs) so the shard_map per-shard body
+                # feeds int4_matmul purely local (packed, scale) slices
+                # with aligned groups. That requires whole groups per
+                # shard: K % (INT4_GROUP * tp) == 0 — true at every real
+                # shape (4096/14336 K, 128-row groups, tp <= 8).
+                if (isinstance(w, Int4Weight) and name in ROW_PARALLEL
+                        and w.scale.shape[-2] % self.tp):
+                    raise ValueError(
+                        f"W4 + kernel='pallas' + tp={self.tp}: {name}'s "
+                        f"K={w.scale.shape[-2] * INT4_GROUP} doesn't "
+                        f"split into whole {INT4_GROUP}-row groups per "
+                        f"model shard; serve with kernel='xla' or align "
+                        f"K to INT4_GROUP*tp")
 
         self.slots = [SlotState() for _ in range(max_slots)]
         self.cache = llama.init_cache(cfg, max_slots, max_seq,
@@ -246,7 +252,8 @@ class Engine:
         cfg_local = dataclasses.replace(
             cfg, num_heads=cfg.num_heads // tp,
             num_kv_heads=cfg.num_kv_heads // tp)
-        param_specs = psh.serving_param_specs(cfg, self.stack.params)
+        param_specs = psh.serving_param_specs(cfg, self.stack.params,
+                                              tp=tp)
         delta_specs = psh.serving_delta_specs(self.stack.deltas)
         sspec = psh.cache_scale_spec() if self.kv_quant else None
         cache_specs = llama.KVCache(k=psh.cache_spec(), v=psh.cache_spec(),

@@ -268,7 +268,7 @@ def test_w4_plus_w1_beats_w4_alone():
     assert np.abs(y_qd - y_fine).mean() < np.abs(y_q - y_fine).mean()
 
 
-def _w4_world():
+def _w4_world(hidden_size=128, intermediate_size=256):
     import jax
 
     from bitdelta_tpu.core.compress import compress_model
@@ -278,8 +278,9 @@ def _w4_world():
                                                       roundtrip_base)
 
     # hidden/intermediate must divide the 128-row int4 groups.
-    cfg = cfgs.tiny_test_config(vocab_size=64, hidden_size=128,
-                                intermediate_size=256, num_layers=2,
+    cfg = cfgs.tiny_test_config(vocab_size=64, hidden_size=hidden_size,
+                                intermediate_size=intermediate_size,
+                                num_layers=2,
                                 num_heads=2, num_kv_heads=2,
                                 dtype="float32")
     dense = jl.init_params(cfg, jax.random.PRNGKey(0), jnp.float32,
@@ -370,10 +371,49 @@ def test_w4_base_mesh_serving_matches_single_device():
     assert got == want
 
 
-def test_w4_pallas_mesh_rejected():
-    """shard_map pallas decode would misalign grouped int4 scales on
-    K-sharded slices — the engine must refuse the combination (W4+TP
-    serves correctly through kernel='xla'/GSPMD)."""
+def test_w4_pallas_mesh_matches_single_device():
+    """W4 + TP + kernel='pallas' (the max-density sharded-serving
+    configuration): row-parallel grouped int4 scales slice per K shard
+    (K % (INT4_GROUP*tp) == 0), so the shard_map decode body runs
+    int4_matmul on purely local slices — greedy tokens must equal the
+    single-device XLA engine exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bitdelta_tpu.parallel import mesh as pmesh
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import stack_tenants
+
+    # K = 256/512 splits into whole 128-row groups across tp=2.
+    cfg, dense, qbase, deq, tenants = _w4_world(hidden_size=256,
+                                                intermediate_size=512)
+    stack = stack_tenants(cfg, qbase, [c for _, c in tenants])
+
+    def run(mesh, kernel):
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel=kernel, mesh=mesh,
+                     compute_dtype=jnp.float32)
+        return eng.generate(
+            [Request(prompt_ids=[3, 9, 4], tenant_id=t, max_new_tokens=6)
+             for t in range(2)])
+
+    want = run(None, "xla")
+    mesh = pmesh.make_mesh((1, 2), devices=jax.devices()[:2])
+    # per-shard scale slicing is what the shard_map body depends on
+    eng = Engine(cfg, stack, max_slots=2, max_seq=64, prefill_buckets=(16,),
+                 kernel="xla", mesh=mesh, compute_dtype=jnp.float32)
+    oscale = eng.stack.params["layers"]["o_proj"].scale
+    assert (oscale.addressable_shards[0].data.shape[-2]
+            == oscale.shape[-2] // 2)
+    with pltpu.force_tpu_interpret_mode():
+        got = run(mesh, "pallas")
+    assert got == want
+
+
+def test_w4_pallas_mesh_rejects_misaligned_groups():
+    """When a row-parallel K doesn't split into whole INT4_GROUP rows
+    per shard (o_proj K=128 = ONE group, tp=2), shard_map slices would
+    misalign the grouped scales — the engine must refuse (W4+TP still
+    serves through kernel='xla'/GSPMD)."""
     import pytest
 
     from bitdelta_tpu.parallel import mesh as pmesh
@@ -383,7 +423,7 @@ def test_w4_pallas_mesh_rejected():
     cfg, dense, qbase, deq, tenants = _w4_world()
     stack = stack_tenants(cfg, qbase, [c for _, c in tenants])
     mesh = pmesh.make_mesh((1, 2), devices=jax.devices()[:2])
-    with pytest.raises(ValueError, match="int4"):
+    with pytest.raises(ValueError, match="INT4_GROUP"):
         Engine(cfg, stack, max_slots=2, max_seq=64, prefill_buckets=(16,),
                kernel="pallas", mesh=mesh)
 
