@@ -39,6 +39,12 @@ from .stacking import TenantStack
 
 NEG_INF = float("-inf")
 
+# Stop-token ids checked ON DEVICE inside the chunked-decode loop (per
+# slot; -1 pads). Requests with more stop ids than this still stop
+# correctly — the host re-check catches the overflow ids — but their
+# lanes may burn chunk steps past the stop.
+DEVICE_STOPS = 4
+
 
 class EngineFullError(RuntimeError):
     """No free slot for an admission. A DISTINCT type so callers'
@@ -111,11 +117,13 @@ class Engine:
         ``decode_chunk``: decode steps chained inside ONE jitted call
         per host sync. Each host readback through this environment's
         device relay costs 30-140 ms — at chunk=1 that dominates decode
-        entirely. Stop/length detection happens host-side after the
-        chunk (a slot that stops mid-chunk wastes at most chunk-1 lane
-        steps; the batch decodes in lockstep anyway, so those lanes were
-        not schedulable for anyone else). Admission granularity becomes
-        ``decode_chunk`` tokens."""
+        entirely. Stop/length detection happens ON DEVICE inside the
+        chunk (_chunk_jit): a lane that samples a stop token or
+        exhausts its budget is parked (cache frozen, zero wasted
+        steps), and the chunk's while_loop exits early once every lane
+        is parked. The host re-checks after readback (source of truth;
+        also covers stop sets larger than DEVICE_STOPS). Admission
+        granularity remains ``decode_chunk`` tokens."""
         self.cfg = cfg
         self.stack = stack
         self.max_slots = max_slots
@@ -212,6 +220,7 @@ class Engine:
             self.stack = stack = psh.shard_stack(cfg, stack, mesh)
             self.cache = psh.shard_cache(self.cache, mesh)
         self.decode_chunk = max(1, int(decode_chunk))
+        self._stop_ids = np.full((max_slots, DEVICE_STOPS), -1, np.int32)
         self.tenant_ids = np.zeros((max_slots,), np.int32)
         self.temps = np.zeros((max_slots,), np.float32)
         self.top_ks = np.zeros((max_slots,), np.int32)
@@ -301,12 +310,23 @@ class Engine:
         self._insert = jax.jit(insert_fn, donate_argnums=(0,))
 
     def _chunk_jit(self, k: int):
-        """Jitted chain of ``k`` decode+sample steps with one host sync:
-        tokens feed back step-to-step on device, all ``k`` sampled
+        """Jitted chain of up to ``k`` decode+sample steps with one host
+        sync: tokens feed back step-to-step on device, all sampled
         tokens come back in one readback. The relay round-trip
         (30-140 ms) amortizes over k instead of dominating every token
         (the reference does one ``model(...)`` + host argmax per token,
-        demo_backend.py:202-251)."""
+        demo_backend.py:202-251).
+
+        Stop detection is ON DEVICE: a lane that samples one of its stop
+        tokens (first DEVICE_STOPS ids) or exhausts its remaining-token
+        budget ``rem`` is PARKED for the rest of the chunk — its cache
+        length stops advancing (no post-stop pollution; the cache state
+        at readback equals stepwise decoding exactly) — and the
+        while_loop exits as soon as every lane is parked, so a chunk
+        whose lanes all finish at step j costs j device steps, not k.
+        ``rem`` also carries each lane's max_new_tokens/max_seq budget,
+        so one near-cap lane parks itself instead of dragging the whole
+        batch's chunk size down."""
         if k in self._chunk_fns:
             return self._chunk_fns[k]
         cfg, dtype, kernel = self.cfg, self.compute_dtype, self.kernel
@@ -315,9 +335,18 @@ class Engine:
         from .sampling import sample_tokens
 
         def chunk_fn(params, deltas, cache, tokens, tenant_ids, temps,
-                     top_ks, top_ps, active, vocab_sizes, rng):
-            def body(carry, i):
-                tokens, cache = carry
+                     top_ks, top_ps, active, stop_ids, rem, vocab_sizes,
+                     rng):
+            bsz = tokens.shape[0]
+            live0 = active & (rem > 0)
+            toks0 = jnp.zeros((k, bsz), jnp.int32)
+
+            def cond(carry):
+                i, tokens, cache, live, rem_c, toks = carry
+                return (i < k) & jnp.any(live)
+
+            def body(carry):
+                i, tokens, cache, live, rem_c, toks = carry
                 old_len = cache.length
                 if step_impl is not None:
                     logits, cache = step_impl(params, deltas, cache,
@@ -333,14 +362,20 @@ class Engine:
                 logits = jnp.where(vmask, logits, NEG_INF)
                 nxt = sample_tokens(jax.random.fold_in(rng, i), logits,
                                     temps, top_ks, top_ps)
-                # Inactive slots don't advance (their cache row is parked).
+                # Parked/inactive lanes don't advance (cache row frozen).
                 cache = cache._replace(
-                    length=jnp.where(active, cache.length, old_len))
-                return (nxt[:, None], cache), nxt
+                    length=jnp.where(live, cache.length, old_len))
+                toks = toks.at[i].set(nxt)
+                rem_c = jnp.where(live, rem_c - 1, rem_c)
+                hit_stop = jnp.any(nxt[:, None] == stop_ids, axis=1)
+                live = live & ~hit_stop & (rem_c > 0)
+                tokens = jnp.where(live[:, None], nxt[:, None], tokens)
+                return (i + 1, tokens, cache, live, rem_c, toks)
 
-            (_, cache), toks = jax.lax.scan(
-                body, (tokens, cache), jnp.arange(k))
-            return toks, cache  # toks: (k, B)
+            _, _, cache, _, _, toks = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), tokens, cache, live0,
+                             rem, toks0))
+            return toks, cache  # toks: (k, B); rows past a stop unused
 
         fn = jax.jit(chunk_fn, donate_argnums=(2,))
         self._chunk_fns[k] = fn
@@ -416,6 +451,8 @@ class Engine:
                     jnp.asarray(self.tenant_ids),
                     jnp.asarray(self.temps), jnp.asarray(self.top_ks),
                     jnp.asarray(self.top_ps), jnp.asarray(active),
+                    jnp.asarray(self._stop_ids),
+                    jnp.zeros((self.max_slots,), jnp.int32),
                     self.stack.vocab_sizes, jax.random.PRNGKey(0))
                 jax.block_until_ready(toks)
         self.warmed = {"prefill": list(self.prefill_buckets),
@@ -555,6 +592,9 @@ class Engine:
             self.temps[slot] = req.temperature
             self.top_ks[slot] = req.top_k
             self.top_ps[slot] = req.top_p
+            self._stop_ids[slot] = -1
+            ids_dev = list(req.stop_token_ids)[:DEVICE_STOPS]
+            self._stop_ids[slot, :len(ids_dev)] = ids_dev
             self._last_tokens[slot] = first
 
     def _finish_checks(self, slot: int) -> Optional[str]:
@@ -569,22 +609,16 @@ class Engine:
             return "length"
         return None
 
-    def _chunk_size(self, active: np.ndarray) -> int:
-        """Largest safe chain length this call: every active row must
-        have cache room for k more tokens (cache row length is
-        prompt_len + generated - 1). Bucketed to powers of two so the
-        set of compiled chunk programs stays bounded."""
-        k = self.decode_chunk
-        if k <= 1:
-            return 1
-        room = min(
-            self.max_seq - (self.slots[int(i)].prompt_len
-                            + len(self.slots[int(i)].generated) - 1)
-            for i in np.nonzero(active)[0])
-        k = min(k, max(1, room))
-        while k & (k - 1):  # round down to a power of two
-            k &= k - 1
-        return k
+    def _slot_budget(self, slot: int) -> int:
+        """How many more tokens this slot may accept: its
+        max_new_tokens budget AND its cache-capacity room (the same two
+        limits _finish_checks applies host-side). The device chunk
+        parks the lane when this hits zero, so per-lane caps never
+        shrink the chunk for the rest of the batch."""
+        st = self.slots[slot]
+        gen = len(st.generated)
+        return min(st.request.max_new_tokens - gen,
+                   (self.max_seq - 1) - st.prompt_len - gen)
 
     def step(self) -> List[StepEvent]:
         """One decode call for all active slots: chains
@@ -612,15 +646,19 @@ class Engine:
                 return events
 
             self._rng, sub = jax.random.split(self._rng)
-            k = self._chunk_size(active)
+            k = self.decode_chunk
             fn = self._chunk_jit(k)
             tokens = jnp.asarray(self._last_tokens[:, None])
+            rem = np.zeros((self.max_slots,), np.int32)
+            for i in np.nonzero(active)[0]:
+                rem[i] = self._slot_budget(int(i))
             with self.timer.step(tokens=0) as tick:
                 toks, self.cache = fn(
                     self.stack.params, self.stack.deltas, self.cache,
                     tokens, jnp.asarray(self.tenant_ids),
                     jnp.asarray(self.temps), jnp.asarray(self.top_ks),
                     jnp.asarray(self.top_ps), jnp.asarray(active),
+                    jnp.asarray(self._stop_ids), jnp.asarray(rem),
                     self.stack.vocab_sizes, sub)
                 toks = np.asarray(toks)  # (k, B) — ONE host sync
                 for i in np.nonzero(active)[0]:

@@ -273,8 +273,10 @@ def test_chunked_decode_stop_tokens_truncate():
 
 
 def test_chunked_decode_near_cache_cap():
-    # A request whose cache room is smaller than the chunk: _chunk_size
-    # must shrink the chain so decode never writes past max_seq.
+    # A request whose cache room is smaller than the chunk: its lane's
+    # device-side budget (rem) parks it at the cap so decode never
+    # writes past max_seq — and without shrinking the chunk for the
+    # rest of the batch.
     cfg, base, tenants, stack = _make_world()
     eng = Engine(cfg, stack, max_slots=2, max_seq=16,
                  prefill_buckets=(8,), kernel="xla", decode_chunk=8)
@@ -343,3 +345,60 @@ def test_engine_int8_kv_rejects_mixtral():
     with pytest.raises(ValueError, match="llama family"):
         Engine(cfg, stack, max_slots=2, max_seq=64, kernel="xla",
                model=mx, kv_dtype="int8")
+
+
+def test_chunked_decode_stop_parks_lane_on_device():
+    """On-device stop detection: a lane that samples its stop token
+    mid-chunk is PARKED — its cache length after the chunk equals the
+    stepwise engine's exactly (zero post-stop advancement), even at
+    decode_chunk much larger than the generation."""
+    cfg, base, tenants, stack = _make_world()
+    prompt = [3, 14, 15, 9]
+    free = Engine(cfg, stack, max_slots=2, max_seq=64,
+                  prefill_buckets=(16,), kernel="xla").generate(
+        [Request(prompt_ids=prompt, tenant_id=0, max_new_tokens=8)])[0]
+    stop = free[2]
+
+    def run(chunk):
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla",
+                     decode_chunk=chunk)
+        out = eng.generate([Request(prompt_ids=prompt, tenant_id=0,
+                                    max_new_tokens=8,
+                                    stop_token_ids=(stop,))])[0]
+        return out, int(np.asarray(eng.cache.length)[0])
+
+    out1, len1 = run(1)
+    out16, len16 = run(16)
+    assert out16 == out1 == free[:2]
+    # chunk=16 must not have advanced the stopped lane's cache past
+    # where chunk=1 (host-stepped) left it.
+    assert len16 == len1
+
+
+def test_device_stop_overflow_still_stops():
+    """More stop ids than DEVICE_STOPS: the device checks only the
+    first few, the host re-check catches the rest — output identical to
+    stepwise decoding."""
+    from bitdelta_tpu.serving.engine import DEVICE_STOPS
+
+    cfg, base, tenants, stack = _make_world()
+    prompt = [3, 14, 15, 9]
+    free = Engine(cfg, stack, max_slots=2, max_seq=64,
+                  prefill_buckets=(16,), kernel="xla").generate(
+        [Request(prompt_ids=prompt, tenant_id=0, max_new_tokens=8)])[0]
+    # Bury the real stop id BEYOND the device window behind decoys that
+    # never fire (vocab-range ids greedy decoding doesn't produce here).
+    decoys = [t for t in range(cfg.vocab_size)
+              if t not in free and t not in prompt][:DEVICE_STOPS]
+    stops = tuple(decoys) + (free[2],)
+
+    def run(chunk):
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla",
+                     decode_chunk=chunk)
+        return eng.generate([Request(prompt_ids=prompt, tenant_id=0,
+                                     max_new_tokens=8,
+                                     stop_token_ids=stops)])[0]
+
+    assert run(16) == run(1) == free[:2]
