@@ -561,6 +561,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
             cache_max_seq: Optional[int] = None,
             kernel: str = "xla",
             kv_quant: bool = False,
+            tp_axis: Optional[str] = None,
             _flash_interpret: bool = False):
     """Full-sequence forward (training / eval / prefill).
 
@@ -582,8 +583,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
         lengths = jnp.full((b,), s, jnp.int32)
 
     deltas, embed_delta, head_delta = _split_deltas(deltas)
-    x = _embed_lookup(params, tokens, tenant_ids,
-                      embed_delta).astype(compute_dtype)
+    x = _embed_lookup(params, tokens, tenant_ids, embed_delta,
+                      tp_axis=tp_axis).astype(compute_dtype)
     positions = jnp.broadcast_to(jnp.arange(s)[None, :], (b, s))
     cos, sin = rope_tables(positions, cfg.head_dim, cfg.rope_theta,
                            cfg.rope_scaling)
@@ -603,6 +604,7 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
             x, _, _, _, _ = _layer_fwd(cfg, compute_dtype, x, lp, ld, tenant_ids,
                                  positions, kv_valid, cos, sin,
                                  kernel=kernel, lengths=lengths,
+                                 tp_axis=tp_axis,
                                  flash_interpret=_flash_interpret)
             return x, None
 
@@ -628,7 +630,8 @@ def forward(cfg: ModelConfig, params: Params, tokens: jax.Array, *,
                 positions, kv_valid, cos, sin,
                 cache_k=cache_k0, cache_v=cache_k0,
                 write_pos=jnp.zeros((b,), jnp.int32), kernel=kernel,
-                lengths=lengths, flash_interpret=_flash_interpret,
+                lengths=lengths, tp_axis=tp_axis,
+                flash_interpret=_flash_interpret,
                 cache_k_scale=scale0, cache_v_scale=scale0)
             return x, ((ck, cv, cks, cvs) if kv_quant else (ck, cv))
 

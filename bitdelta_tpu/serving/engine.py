@@ -381,30 +381,90 @@ class Engine:
         self._chunk_fns[k] = fn
         return fn
 
+    def _make_tp_prefill(self):
+        """shard_map'd prefill forward (the TP-serving admission path):
+        every model-axis shard runs the flash prefill kernel on its
+        LOCAL heads and the per-shard delta kernels on its local slices,
+        with psum at the Megatron reduction points inside llama.forward
+        (tp_axis=). Without this, 70B-class admission cost was O(layers
+        x Sq x Sk) XLA attention per prefill — the flash kernel never
+        materializes the score tensor. Batch is 1 (one admission), so
+        only the model axis is mapped; the data axis replicates."""
+        import dataclasses as dc
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel import sharding as psh
+        from ..parallel.mesh import MODEL_AXIS
+
+        cfg, dtype, tp, model = self.cfg, self.compute_dtype, self.tp, \
+            self.model
+        max_seq = self.max_seq
+        cfg_local = dc.replace(cfg, num_heads=cfg.num_heads // tp,
+                               num_kv_heads=cfg.num_kv_heads // tp)
+        param_specs = psh.serving_param_specs(cfg, self.stack.params,
+                                              tp=tp)
+        delta_specs = psh.serving_delta_specs(self.stack.deltas)
+        # Row cache (L, 1, S, KV, hd): kv heads on model, batch-of-one
+        # replicated over data.
+        rspec = P(None, None, None, MODEL_AXIS, None)
+        sspec = (P(None, None, None, MODEL_AXIS) if self.kv_quant
+                 else None)
+        cache_specs = llama.KVCache(k=rspec, v=rspec, length=P(),
+                                    k_scale=sspec, v_scale=sspec)
+        kv_kw = {"kv_quant": True} if self.kv_quant else {}
+
+        def per_shard(params, deltas, tokens, length, tenant_id):
+            logits, rowcache = model.forward(
+                cfg_local, params, tokens, lengths=length, deltas=deltas,
+                tenant_ids=tenant_id, compute_dtype=dtype,
+                return_cache=True, cache_max_seq=max_seq,
+                kernel="pallas", tp_axis=MODEL_AXIS, **kv_kw)
+            # (V_local,) — the caller's out_specs reassemble the vocab.
+            last = logits[0, length[0] - 1]
+            return last, rowcache
+
+        return shard_map(
+            per_shard, mesh=self.mesh,
+            in_specs=(param_specs, delta_specs, P(), P(), P()),
+            out_specs=(P(MODEL_AXIS), cache_specs),
+            check_rep=False)
+
     def _prefill_jit(self, bucket: int):
         if bucket in self._prefill_fns:
             return self._prefill_fns[bucket]
         cfg, dtype, max_seq = self.cfg, self.compute_dtype, self.max_seq
 
         kernel = self.kernel
+        tp_impl = None
         if self.mesh is not None and self.mesh.size > 1:
-            # Multi-device prefill stays on the GSPMD XLA path: large-M
-            # prefill shapes are MXU-bound where XLA is already at
-            # roofline (BENCHNOTES.md), and only the decode kernels are
-            # shard_map'd. Pair-layout deltas un-pair on the fly.
-            kernel = "xla"
+            if kernel == "pallas" and self.model is llama:
+                # shard_map flash prefill: local heads per model shard,
+                # psum at o_proj/down_proj (see _make_tp_prefill).
+                tp_impl = self._make_tp_prefill()
+            else:
+                # GSPMD XLA path: large-M prefill shapes are MXU-bound
+                # where XLA is at roofline (BENCHNOTES.md). Pair-layout
+                # deltas un-pair on the fly.
+                kernel = "xla"
         model = self.model
 
         kv_kw = {"kv_quant": True} if self.kv_quant else {}
 
         def prefill_fn(params, deltas, tokens, length, tenant_id,
                        vocab_sizes):
-            logits, rowcache = model.forward(
-                cfg, params, tokens, lengths=length, deltas=deltas,
-                tenant_ids=tenant_id, compute_dtype=dtype,
-                return_cache=True, cache_max_seq=max_seq, kernel=kernel,
-                **kv_kw)
-            last = logits[0, length[0] - 1].astype(jnp.float32)
+            if tp_impl is not None:
+                last, rowcache = tp_impl(params, deltas, tokens, length,
+                                         tenant_id)
+                last = last.astype(jnp.float32)
+            else:
+                logits, rowcache = model.forward(
+                    cfg, params, tokens, lengths=length, deltas=deltas,
+                    tenant_ids=tenant_id, compute_dtype=dtype,
+                    return_cache=True, cache_max_seq=max_seq,
+                    kernel=kernel, **kv_kw)
+                last = logits[0, length[0] - 1].astype(jnp.float32)
             vmask = jnp.arange(last.shape[-1]) < vocab_sizes[tenant_id[0]]
             last = jnp.where(vmask, last, NEG_INF)
             return last, rowcache
