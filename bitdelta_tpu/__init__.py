@@ -65,4 +65,8 @@ def __getattr__(name):
                 "fuse_variant_model"):
         from .research import variants
         return getattr(variants, name)
+    if name in ("load_gptq_params", "int4_from_gptq", "int8_from_bnb",
+                "dequantize_gptq"):
+        from .models import quant_import
+        return getattr(quant_import, name)
     raise AttributeError(name)
