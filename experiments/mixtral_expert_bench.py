@@ -1,0 +1,140 @@
+"""Mixtral routed expert-delta decode cost on real hardware.
+
+Measures the three formulations of the per-(row, expert) 1-bit delta at
+decode shapes (VERDICT r2 item 2 — the old path materialized dense
+(B, E, K, N) signs, the class of XLA path BENCHNOTES measured at ~12x
+the kernel cost):
+
+  routed_pair      — models/mixtral.py's deployed path: (tenant, expert)
+                     flattened into the pair VPU kernel's stack axis,
+                     B*top_k routed rows (work scales with top_k, not E).
+  routed_canonical — same routing through the one-column bit-plane kernel.
+  xla_dense        — the old dense-sign einsum (set XLA_DENSE=1; at full
+                     width it stages a ~5.6 GB sign tensor — shrink
+                     first), evaluated over ALL E experts.
+  llama_ref        — the llama gate_proj pair-kernel call at the same
+                     per-element work, the "within ~2x" yardstick.
+
+Env: SHRINK (divide K/N), T (tenants), TOPK, STEPS, TRIALS.
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from bitdelta_tpu.core.delta import BinaryDelta, pair_delta
+
+SHRINK = int(os.environ.get("SHRINK", "1"))
+T = int(os.environ.get("T", "6"))
+E = 8
+TOPK = int(os.environ.get("TOPK", "2"))
+K = 4096 // SHRINK
+N = 14336 // SHRINK // 256 * 256
+STEPS = int(os.environ.get("STEPS", "64"))
+TRIALS = int(os.environ.get("TRIALS", "3"))
+XLA_DENSE = os.environ.get("XLA_DENSE", "0") == "1"
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def _timeit(run, x0, work_elems):
+    v = float(run(x0))  # compile + first call
+    ts = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        v = float(run(x0))
+        ts.append(time.perf_counter() - t0)
+    per = min(ts) / STEPS
+    log(f"  {per*1e6:9.1f} us/call  {work_elems/per/1e9:8.2f} "
+        f"G unpacked-elem/s  (checksum {v:.3e})")
+    return per
+
+
+def chain(fn):
+    @jax.jit
+    def run(x):
+        def body(x, _):
+            y = fn(x)
+            x = x + y[..., :K].astype(x.dtype) * jnp.bfloat16(1e-6)
+            return x, ()
+        x, _ = jax.lax.scan(body, x, None, length=STEPS)
+        return x.sum()
+    return run
+
+
+def main():
+    key = iter(jax.random.split(jax.random.PRNGKey(0), 16))
+    log(f"backend={jax.default_backend()} T={T} E={E} topk={TOPK} "
+        f"K={K} N={N}")
+
+    # (T*E) flattened expert-delta stack for one w1-shaped matrix.
+    packed = jax.random.bits(next(key), (T * E, K // 32, N), jnp.uint32) \
+        .astype(jnp.int32)
+    stack = BinaryDelta(packed=packed,
+                        scale=jnp.full((T * E,), 0.01, jnp.float32))
+    pstack = pair_delta(stack)
+    # Routed ids: batch row b -> tenant b, experts (b, b+3) % E.
+    rows = jnp.arange(T * TOPK) // TOPK
+    experts = (rows + 3 * (jnp.arange(T * TOPK) % TOPK)) % E
+    flat_ids = (rows * E + experts).astype(jnp.int32)
+    x0 = jax.random.normal(next(key), (T * TOPK, K), jnp.bfloat16)
+    routed_work = T * TOPK * K * N
+
+    from bitdelta_tpu.ops.pallas_binary_gemm import (
+        tenant_delta_matmul_pair_pallas, tenant_delta_matmul_pallas)
+
+    log(f"routed_pair       ({T * TOPK} rows, stack {T * E}):")
+    t_pair = _timeit(chain(lambda x: tenant_delta_matmul_pair_pallas(
+        x, pstack.packed_pairs, pstack.colsum, pstack.scale, flat_ids,
+        out_dtype=jnp.float32)), x0, routed_work)
+
+    log("routed_canonical:")
+    _timeit(chain(lambda x: tenant_delta_matmul_pallas(
+        x, stack.packed, stack.scale, flat_ids,
+        out_dtype=jnp.float32)), x0, routed_work)
+
+    # llama yardstick: same kernel, T rows / T-stack (gate_proj serving
+    # shape) — per-element rates should be within ~2x.
+    lstack = pair_delta(BinaryDelta(
+        packed=packed[:T], scale=jnp.full((T,), 0.01, jnp.float32)))
+    xl = jax.random.normal(next(key), (T, K), jnp.bfloat16)
+    log(f"llama_ref         ({T} rows, stack {T}):")
+    t_ref = _timeit(chain(lambda x: tenant_delta_matmul_pair_pallas(
+        x, lstack.packed_pairs, lstack.colsum, lstack.scale,
+        jnp.arange(T, dtype=jnp.int32),
+        out_dtype=jnp.float32)), xl, T * K * N)
+
+    per_elem_routed = t_pair / routed_work
+    per_elem_ref = t_ref / (T * K * N)
+    log(f"routed-vs-llama per-element ratio: "
+        f"{per_elem_routed / per_elem_ref:.2f}x (target < ~2x)")
+
+    if XLA_DENSE:
+        from bitdelta_tpu.ops.packing import unpack_to_pm1
+
+        tenant_ids = rows[::TOPK].astype(jnp.int32)  # (T,) one per row
+        packed4 = packed.reshape(T, E, K // 32, N)
+        xd = jax.random.normal(next(key), (T, K), jnp.bfloat16)
+
+        def dense(x):
+            p = jnp.take(packed4, tenant_ids, axis=0)
+            signs = unpack_to_pm1(p, jnp.bfloat16)      # (T, E, K, N)
+            return jnp.einsum("bd,bedn->ben", x, signs,
+                              preferred_element_type=jnp.float32) * 0.01
+        log(f"xla_dense         ({T} rows x ALL {E} experts):")
+        _timeit(chain(lambda x: dense(x).reshape(T, -1)), xd,
+                T * E * K * N)
+
+
+if __name__ == "__main__":
+    main()
