@@ -215,7 +215,7 @@ def _expert_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
 
 
 def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None,
-             kernel: str = "xla"):
+             kernel: str = "xla", tp_axis=None):
     """Top-k routed SwiGLU: x ``(B, S, D)``; expert weights
     ``w1/w3 (E, D, I)``, ``w2 (E, I, D)``; router ``(D, E)``. With
     ``tenant_ids``, deltas are tenant-stacked ``(T, ...)`` and routed
@@ -293,6 +293,11 @@ def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None,
                 axis=1).reshape(b * topk, -1)                 # (B*k, I)
             yd2 = routed(x2, "w2")                            # (B, k, D)
             y += jnp.einsum("bkd,bk->bd", yd2, gates[:, 0])[:, None]
+        if tp_axis is not None:
+            # Megatron TP inside each expert: w1/w3 produced LOCAL I
+            # columns, w2 (and its routed delta) consumed them — one
+            # reduction for the whole MoE block, after the combine.
+            y = jax.lax.psum(y, tp_axis)
         return y.astype(compute_dtype)
 
     h1 = _expert_matmul(x, p["w1"], d.get("w1"), compute_dtype,
@@ -302,14 +307,16 @@ def _moe_ffn(cfg: MixtralConfig, compute_dtype, x, p, d, tenant_ids=None,
     h = (jax.nn.silu(h1.astype(jnp.float32)).astype(compute_dtype) * h3)
     out = _expert_matmul(h, p["w2"], d.get("w2"), compute_dtype,
                          tenant_ids)                             # (B,S,E,D)
-    return jnp.einsum("bsed,bse->bsd", out.astype(jnp.float32),
-                      weight).astype(compute_dtype)
+    y = jnp.einsum("bsed,bse->bsd", out.astype(jnp.float32), weight)
+    if tp_axis is not None:
+        y = jax.lax.psum(y, tp_axis)
+    return y.astype(compute_dtype)
 
 
 def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
            positions, kv_valid, cos, sin,
            cache_k=None, cache_v=None, write_pos=None, tenant_ids=None,
-           kernel: str = "xla"):
+           kernel: str = "xla", tp_axis=None):
     """One Mixtral block. With cache_k/v given, new K/V are scattered at
     ``write_pos`` per row and attention runs over the whole cache (same
     protocol as llama._layer_fwd). Returns (x, cache_k, cache_v).
@@ -330,8 +337,14 @@ def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
         return w
 
     def attn_proj(xx, name):
-        return _proj(xx, p[name], d.get(name), tenant_ids, compute_dtype,
-                     kernel=kernel)
+        y = _proj(xx, p[name], d.get(name), tenant_ids, compute_dtype,
+                  kernel=kernel)
+        if tp_axis is not None and name == "o_proj":
+            # Row-parallel: heads are model-axis-local, psum the output
+            # so the residual stream stays replicated.
+            y = jax.lax.psum(y.astype(jnp.float32),
+                             tp_axis).astype(y.dtype)
+        return y
 
     h = rms_norm(x, norm_w(p["attn_norm"]), cfg.rms_norm_eps)
     q = attn_proj(h, "q_proj")
@@ -365,7 +378,7 @@ def _layer(cfg: MixtralConfig, compute_dtype, x, p, d,
     x = x + attn_proj(attn, "o_proj")
     h = rms_norm(x, norm_w(p["mlp_norm"]), cfg.rms_norm_eps)
     x = x + _moe_ffn(cfg, compute_dtype, h, p, d, tenant_ids,
-                     kernel=kernel)
+                     kernel=kernel, tp_axis=tp_axis)
     return x, cache_k, cache_v
 
 
@@ -441,12 +454,20 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
                 tokens: jax.Array, cache: KVCache, *,
                 deltas: Optional[Dict[str, BinaryDelta]] = None,
                 tenant_ids: Optional[jax.Array] = None,
-                compute_dtype=None, kernel: str = "xla"):
+                compute_dtype=None, kernel: str = "xla",
+                tp_axis=None):
     """Single-token Mixtral decode: tokens ``(B, 1)`` appended at each
     row's current length. Returns ``(logits (B, 1, V), new_cache)``.
     Mirrors llama.decode_step (incl. tenant routing); MoE routing runs
     per decoded token. ``kernel="pallas"``: attention projections run
-    the VPU delta kernels (llama's decode hot path); experts stay XLA."""
+    the VPU delta kernels (llama's decode hot path) and expert deltas
+    run the routed top-k path.
+
+    ``tp_axis``: per-shard body of a ``shard_map`` (Megatron TP): cfg
+    holds LOCAL head counts, attention projections and expert stacks
+    arrive as local slices (w1/w3 column-parallel on I, w2 row-parallel
+    — one psum per MoE block after the combine; the router replicates),
+    logits return V-sharded."""
     compute_dtype = compute_dtype or jnp.dtype(cfg.dtype)
     b, sq = tokens.shape
     positions = cache.length[:, None] + jnp.arange(sq)[None, :]
@@ -456,8 +477,8 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
                            cfg.rope_scaling)
 
     deltas, embed_delta, head_delta = _split_deltas(deltas)
-    x = _embed_lookup(params, tokens, tenant_ids,
-                      embed_delta).astype(compute_dtype)
+    x = _embed_lookup(params, tokens, tenant_ids, embed_delta,
+                      tp_axis=tp_axis).astype(compute_dtype)
     layer_xs = (params["layers"], cache.k, cache.v)
     if deltas is not None:
         layer_xs = (params["layers"], deltas, cache.k, cache.v)
@@ -471,7 +492,8 @@ def decode_step(cfg: MixtralConfig, params: Dict[str, Any],
         x, ck, cv = _layer(cfg, compute_dtype, x, p, d,
                            positions, kv_valid, cos, sin,
                            cache_k=ck, cache_v=cv, write_pos=cache.length,
-                           tenant_ids=tenant_ids, kernel=kernel)
+                           tenant_ids=tenant_ids, kernel=kernel,
+                           tp_axis=tp_axis)
         return x, (ck, cv)
 
     x, (ks, vs) = jax.lax.scan(body, x, layer_xs)

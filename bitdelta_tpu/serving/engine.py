@@ -135,14 +135,7 @@ class Engine:
                                       if b <= max_seq)
         multi_device = mesh is not None and mesh.size > 1
         if kernel == "auto":
-            kernel = ("pallas" if jax.default_backend() == "tpu"
-                      and (is_llama or not multi_device) else "xla")
-        if kernel == "pallas" and not is_llama and multi_device:
-            raise ValueError(
-                "pallas+mesh serving is wired for the llama family only "
-                "(the shard_map decode path); Mixtral TP serves with "
-                "kernel='xla' — single-device Mixtral may use 'pallas' "
-                "(attention projections ride the VPU delta kernels)")
+            kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         self.kernel = kernel
         self.tp = 1
         if mesh is not None:

@@ -510,3 +510,35 @@ def test_mixtral_routed_single_tenant_decode():
     np.testing.assert_allclose(np.asarray(step[:, 0]),
                                np.asarray(full[:, -1]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_mixtral_tp_pallas_shardmap_matches_single_device():
+    """Mixtral TP + kernel='pallas' (previously rejected): the shard_map
+    decode body runs the routed expert-delta kernels on LOCAL expert
+    slices (w1/w3 column-parallel on I, w2 row-parallel with one psum
+    per MoE block, router replicated) — greedy tokens must equal the
+    single-device XLA engine exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bitdelta_tpu.parallel import mesh as pmesh
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import stack_tenants
+
+    cfg, base = _tp_world()
+    tenants = [mx.compress_mixtral(base, _finetune(base, 810 + t))
+               for t in range(2)]
+    stack = stack_tenants(cfg, base, tenants)
+    reqs = [Request(prompt_ids=[5, 11, 3, 7], tenant_id=t,
+                    max_new_tokens=5) for t in range(2)]
+
+    want = Engine(cfg, stack, max_slots=2, max_seq=64,
+                  prefill_buckets=(16,), kernel="xla", model=mx,
+                  compute_dtype=jnp.float32).generate(reqs)
+    mesh = pmesh.make_mesh((1, 2), devices=jax.devices()[:2])
+    with pltpu.force_tpu_interpret_mode():
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="pallas", model=mx,
+                     mesh=mesh, compute_dtype=jnp.float32)
+        got = eng.generate(reqs)
+    assert got == want
+    assert want[0] != want[1]
