@@ -72,10 +72,45 @@ def chain(fn):
     return run
 
 
+def numerics_check():
+    """Compiled parity of the routed kernels vs the XLA lowering at a
+    small shape (CLAUDE.md kernel rule: interpret-mode tests AND a
+    compiled check on the real chip)."""
+    import numpy as np
+
+    from bitdelta_tpu.ops.binary_matmul import tenant_binary_matmul
+    from bitdelta_tpu.ops.pallas_binary_gemm import (
+        tenant_delta_matmul_pair_pallas, tenant_delta_matmul_pallas)
+
+    key = iter(jax.random.split(jax.random.PRNGKey(42), 4))
+    G, Kc, Nc, R = 12, 512, 512, 8
+    packed = jax.random.bits(next(key), (G, Kc // 32, Nc),
+                             jnp.uint32).astype(jnp.int32)
+    scales = 0.01 + 0.002 * jnp.arange(G, dtype=jnp.float32)
+    ids = (jnp.arange(R, dtype=jnp.int32) * 5) % G
+    x = jax.random.normal(next(key), (R, Kc), jnp.bfloat16)
+    want = tenant_binary_matmul(x[:, None, :], packed, scales, ids,
+                                compute_dtype=jnp.float32)[:, 0]
+    d = BinaryDelta(packed=packed, scale=scales)
+    pd = pair_delta(d)
+    got_p = tenant_delta_matmul_pair_pallas(
+        x, pd.packed_pairs, pd.colsum, pd.scale, ids,
+        out_dtype=jnp.float32)
+    got_c = tenant_delta_matmul_pallas(x, packed, scales, ids,
+                                       out_dtype=jnp.float32)
+    for name, got in (("pair", got_p), ("canonical", got_c)):
+        rel = float(jnp.max(jnp.abs(got - want))
+                    / jnp.max(jnp.abs(want)))
+        assert rel < 3e-3, (name, rel)
+        log(f"  compiled {name} kernel == XLA on routed stack "
+            f"(rel {rel:.1e})")
+
+
 def main():
     key = iter(jax.random.split(jax.random.PRNGKey(0), 16))
     log(f"backend={jax.default_backend()} T={T} E={E} topk={TOPK} "
         f"K={K} N={N}")
+    numerics_check()
 
     # (T*E) flattened expert-delta stack for one w1-shaped matrix.
     packed = jax.random.bits(next(key), (T * E, K // 32, N), jnp.uint32) \
