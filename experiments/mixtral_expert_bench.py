@@ -47,12 +47,12 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
-def _timeit(run, x0, work_elems):
-    v = float(run(x0))  # compile + first call
+def _timeit(run, x0, ops, work_elems):
+    v = float(run(x0, *ops))  # compile + first call
     ts = []
     for _ in range(TRIALS):
         t0 = time.perf_counter()
-        v = float(run(x0))
+        v = float(run(x0, *ops))
         ts.append(time.perf_counter() - t0)
     per = min(ts) / STEPS
     log(f"  {per*1e6:9.1f} us/call  {work_elems/per/1e9:8.2f} "
@@ -61,10 +61,14 @@ def _timeit(run, x0, work_elems):
 
 
 def chain(fn):
+    """Chained-steps runner. The big operands are jit ARGUMENTS (a
+    closure would embed the multi-hundred-MB packed stacks as program
+    constants — the relay's remote compiler rejects the body with
+    HTTP 413)."""
     @jax.jit
-    def run(x):
+    def run(x, *ops):
         def body(x, _):
-            y = fn(x)
+            y = fn(x, *ops)
             x = x + y[..., :K].astype(x.dtype) * jnp.bfloat16(1e-6)
             return x, ()
         x, _ = jax.lax.scan(body, x, None, length=STEPS)
@@ -129,14 +133,17 @@ def main():
         tenant_delta_matmul_pair_pallas, tenant_delta_matmul_pallas)
 
     log(f"routed_pair       ({T * TOPK} rows, stack {T * E}):")
-    t_pair = _timeit(chain(lambda x: tenant_delta_matmul_pair_pallas(
-        x, pstack.packed_pairs, pstack.colsum, pstack.scale, flat_ids,
-        out_dtype=jnp.float32)), x0, routed_work)
+    t_pair = _timeit(
+        chain(lambda x, pp, cs, sc, ids: tenant_delta_matmul_pair_pallas(
+            x, pp, cs, sc, ids, out_dtype=jnp.float32)),
+        x0, (pstack.packed_pairs, pstack.colsum, pstack.scale, flat_ids),
+        routed_work)
 
     log("routed_canonical:")
-    _timeit(chain(lambda x: tenant_delta_matmul_pallas(
-        x, stack.packed, stack.scale, flat_ids,
-        out_dtype=jnp.float32)), x0, routed_work)
+    _timeit(
+        chain(lambda x, p, sc, ids: tenant_delta_matmul_pallas(
+            x, p, sc, ids, out_dtype=jnp.float32)),
+        x0, (stack.packed, stack.scale, flat_ids), routed_work)
 
     # llama yardstick: same kernel, T rows / T-stack (gate_proj serving
     # shape) — per-element rates should be within ~2x.
@@ -144,10 +151,11 @@ def main():
         packed=packed[:T], scale=jnp.full((T,), 0.01, jnp.float32)))
     xl = jax.random.normal(next(key), (T, K), jnp.bfloat16)
     log(f"llama_ref         ({T} rows, stack {T}):")
-    t_ref = _timeit(chain(lambda x: tenant_delta_matmul_pair_pallas(
-        x, lstack.packed_pairs, lstack.colsum, lstack.scale,
-        jnp.arange(T, dtype=jnp.int32),
-        out_dtype=jnp.float32)), xl, T * K * N)
+    t_ref = _timeit(
+        chain(lambda x, pp, cs, sc, ids: tenant_delta_matmul_pair_pallas(
+            x, pp, cs, sc, ids, out_dtype=jnp.float32)),
+        xl, (lstack.packed_pairs, lstack.colsum, lstack.scale,
+             jnp.arange(T, dtype=jnp.int32)), T * K * N)
 
     per_elem_routed = t_pair / routed_work
     per_elem_ref = t_ref / (T * K * N)
@@ -161,14 +169,15 @@ def main():
         packed4 = packed.reshape(T, E, K // 32, N)
         xd = jax.random.normal(next(key), (T, K), jnp.bfloat16)
 
-        def dense(x):
-            p = jnp.take(packed4, tenant_ids, axis=0)
+        def dense(x, p4, ids):
+            p = jnp.take(p4, ids, axis=0)
             signs = unpack_to_pm1(p, jnp.bfloat16)      # (T, E, K, N)
             return jnp.einsum("bd,bedn->ben", x, signs,
                               preferred_element_type=jnp.float32) * 0.01
         log(f"xla_dense         ({T} rows x ALL {E} experts):")
-        _timeit(chain(lambda x: dense(x).reshape(T, -1)), xd,
-                T * E * K * N)
+        _timeit(chain(lambda x, p4, ids: dense(x, p4, ids)
+                      .reshape(T, -1)),
+                xd, (packed4, tenant_ids), T * E * K * N)
 
 
 if __name__ == "__main__":
