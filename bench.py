@@ -410,20 +410,22 @@ def _emit_error(stage, err):
     }), flush=True)
 
 
-def probe_free_hbm():
+def probe_free_hbm(limit_mb=1 << 20):
     """Estimate free HBM (MB) by progressive materialization.
 
     The pooled chip exposes no memory_stats through the relay and
     allocation is LAZY, so the only reliable signal is materializing
     buffers until one OOMs. Buffers are held cumulatively then all
     released; the process stays alive so nothing leaks server-side.
-    Resolution: the step sizes below (last confirmed cumulative MB is
-    returned). r02 died at a plain materialization on a chip holding
-    ~13 GB leaked — this probe lets the ladder SKIP rungs that cannot
-    fit instead of paying retries x backoff at each."""
+    ``limit_mb`` stops the probe once enough is confirmed for the
+    largest candidate rung — probing the whole chip churns GBs of
+    allocations for no decision value. r02 died at a plain
+    materialization on a chip holding ~13 GB leaked — this probe lets
+    the ladder SKIP rungs that cannot fit instead of paying
+    retries x backoff at each."""
     held, total, i = [], 0, 0
     pending = [256, 256, 512, 1024] + [2048] * 6 + [1024, 512]
-    while pending:
+    while pending and total < limit_mb:
         mb = pending.pop(0)
         x = None
         try:
@@ -444,6 +446,36 @@ def probe_free_hbm():
     del held
     gc.collect()
     return total
+
+
+def settle_hbm(mb=256, timeout_s=240, what="probe release"):
+    """Wait until a ``mb``-sized materialization succeeds.
+
+    Frees through the relay land ASYNCHRONOUSLY: right after the probe
+    releases gigabytes, even a 24-byte op can still RESOURCE_EXHAUSTED
+    (observed r3: both 8L rungs died instantly at a jnp.arange following
+    a successful 6 GB probe). Poll with a real allocation until the
+    server-side frees are visible, bounded by ``timeout_s``."""
+    t0 = time.time()
+    i = 0
+    while True:
+        x = None
+        try:
+            x = jax.random.bits(jax.random.PRNGKey(7000 + i),
+                                (mb * 1024 * 1024 // 4,), jnp.uint32)
+            float(x[:8].astype(jnp.float32).sum())
+            del x
+            return True
+        except Exception as e:  # noqa: BLE001
+            del x
+            if not _is_oom(e):
+                raise
+            if time.time() - t0 > timeout_s:
+                log(f"  settle after {what}: still OOM at {mb} MB after "
+                    f"{timeout_s}s")
+                return False
+            i += 1
+            time.sleep(10)
 
 
 def rung_peak_bytes(cfg, tenants):
@@ -612,10 +644,17 @@ def main():
         if outer:
             log(f"outer attempt {outer+1}/{outer_tries} after "
                 f"{backoff_s}s quiet backoff ...")
+        def need_of(li, ti):
+            return int(rung_peak_bytes(build_cfg(li), ti)
+                       * 1.02 / 2**20) + 256
+
         if backend == "tpu":
-            free_mb = probe_free_hbm()
+            free_mb = probe_free_hbm(limit_mb=need_of(*candidates[0]))
             log(f"probed free HBM: ~{free_mb} MB "
                 f"(16384 MB chip; the rest is held/leaked)")
+            # Frees land asynchronously — wait until the probe's own
+            # buffers are actually gone before building anything.
+            settle_hbm(min(512, max(free_mb // 2, 128)))
         else:
             free_mb = 1 << 30
         for li, ti in candidates:
@@ -624,7 +663,7 @@ def main():
             # Gate is deliberately loose (x1.02 + 256 MB): its job is to
             # skip HOPELESS rungs fast on a leaked chip, not to predict
             # marginal fits — run_rung's retry/degrade handles those.
-            need_mb = int(rung_peak_bytes(cfg, ti) * 1.02 / 2**20) + 256
+            need_mb = need_of(li, ti)
             if need_mb > free_mb:
                 log(f"  skip rung {li}L/T{ti}: needs ~{need_mb} MB "
                     f"> ~{free_mb} MB free")
@@ -638,7 +677,12 @@ def main():
                 last_err = e
                 gc.collect()
                 log(f"  rung {li}L/T{ti} OOMed mid-phase despite the "
-                    "probe — degrading")
+                    "probe — settling, then degrading")
+                if backend == "tpu":
+                    # The failed build's frees also land lazily; without
+                    # this the remaining rungs die instantly in cascade.
+                    settle_hbm(min(512, max(free_mb // 2, 128)),
+                               what="failed rung release")
                 continue
             if (li, ti) != (L0, T0):
                 # Pooled-chip HBM was short even after retries; the
