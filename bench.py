@@ -307,16 +307,21 @@ def _is_oom(e) -> bool:
     return "RESOURCE_EXHAUSTED" in repr(e)
 
 
-def build_resilient(builder, what, retries=3, wait_s=45):
+def build_resilient(builder, what, retries=3, wait_s=45, before=None):
     """Run ``builder()`` with retry-on-RESOURCE_EXHAUSTED.
 
     The bench chip is a POOLED v5e behind a relay: other clients' (or a
     killed predecessor's) allocations can transiently hold HBM, so a
     build that fits by >2 GB on a quiet chip can still OOM. Waiting and
     retrying is the honest fix; callers degrade the config only after
-    retries are exhausted (and must say so in the output)."""
+    retries are exhausted (and must say so in the output).
+
+    ``before``: called before EVERY attempt — the ballast hook that
+    consolidates owned HBM and frees exactly this build's need."""
     for attempt in range(retries):
         try:
+            if before is not None:
+                before()
             out = builder()
             _force(out)
             return out
@@ -448,6 +453,59 @@ def probe_free_hbm(limit_mb=1 << 20):
     return total
 
 
+class Ballast:
+    """Own the pool's free HBM so a competing client can't steal it
+    between bench phases.
+
+    Observed r3: a competitor expands into freed memory within seconds
+    — after the probe released 6 GB, even 512 MB stayed unallocatable
+    for 4+ minutes. Holding materialized 256 MB blocks and releasing
+    exactly a phase's need right before its build shrinks the theft
+    window from minutes to the build's own duration. ``grab`` doubles
+    as the free-HBM probe (held_mb == what we actually own)."""
+
+    BLOCK_MB = 256
+
+    def __init__(self):
+        self.blocks = []
+        self._i = 0
+
+    def held_mb(self):
+        return len(self.blocks) * self.BLOCK_MB
+
+    def grab(self, passes=2, sleep_s=15, limit_mb=1 << 20):
+        for p in range(passes):
+            while self.held_mb() < limit_mb:
+                x = None
+                try:
+                    x = jax.random.bits(
+                        jax.random.PRNGKey(50000 + self._i),
+                        (self.BLOCK_MB * 1024 * 1024 // 4,), jnp.uint32)
+                    self._i += 1
+                    float(x[:8].astype(jnp.float32).sum())
+                except Exception as e:  # noqa: BLE001
+                    del x
+                    if not _is_oom(e):
+                        raise
+                    break
+                self.blocks.append(x)
+            if p < passes - 1 and self.held_mb() < limit_mb:
+                time.sleep(sleep_s)
+        return self.held_mb()
+
+    def release(self, mb):
+        n = min((int(mb) + self.BLOCK_MB - 1) // self.BLOCK_MB,
+                len(self.blocks))
+        if n:
+            del self.blocks[-n:]
+            gc.collect()
+
+    def make_room(self, need_bytes, margin_mb=768):
+        """Consolidate then free need+margin for an imminent build."""
+        self.grab(passes=1)
+        self.release(need_bytes / 2**20 + margin_mb)
+
+
 def settle_hbm(mb=256, timeout_s=240, what="probe release"):
     """Wait until a ``mb``-sized materialization succeeds.
 
@@ -478,15 +536,10 @@ def settle_hbm(mb=256, timeout_s=240, what="probe release"):
             time.sleep(10)
 
 
-def rung_peak_bytes(cfg, tenants):
-    """Peak HBM estimate across all bench phases at one (L, T) rung.
-
-    Phase peaks (each phase frees the previous):
-      world  = int8 base + 1-bit deltas + shared bf16 heads + 1-bit
-               head deltas + chain KV cache (freed before engine) and
-               the engine's own slots cache.
-      naive  = dense bf16 model + B=1 KV cache.
-    """
+def phase_bytes(cfg, tenants):
+    """Per-phase HBM needs at one (L, T) rung (each phase frees the
+    previous; ``w8conv`` is the transient peak ON TOP of the held bf16
+    model while quantize_naive_w8 converts proj-by-proj)."""
     L, T = cfg.num_layers, tenants
     D, V = cfg.hidden_size, cfg.vocab_size
     pe = sum(k * n for k, n in proj_shapes(cfg).values()) * L
@@ -498,20 +551,37 @@ def rung_peak_bytes(cfg, tenants):
              + T * V * 8             # pair colsum f32 (head + per-proj)
              + kv1 * T)              # chain cache OR engine slots cache
     naive = pe * 2 + 2 * D * V * 2 + kv1
-    return max(world, naive)
+    biggest = max(k * n for k, n in proj_shapes(cfg).values())
+    # int8 slices + their stacked copy for the biggest proj + one f32
+    # layer-slice temp, ON TOP of the (shrinking) bf16 model.
+    w8conv = 2 * biggest * L + biggest * 4
+    return {"world": world, "naive": naive, "w8conv": w8conv}
 
 
-def run_rung(cfg, kernel, backend):
+def rung_peak_bytes(cfg, tenants):
+    ph = phase_bytes(cfg, tenants)
+    return max(ph["world"], ph["naive"])
+
+
+def run_rung(cfg, kernel, backend, ballast=None):
     """All four phases (ours, engine, naive bf16, naive W8) at ONE
     (L, T) rung. Raises on OOM so the caller can degrade the rung;
-    everything built here is local and dies with the frame."""
+    everything built here is local and dies with the frame.
+
+    ``ballast``: when the pooled chip has a competing client, the
+    ballast owns the free HBM and each phase carves out exactly its
+    need right before building (see Ballast)."""
+    ph = phase_bytes(cfg, TENANTS)
+    room = (lambda b, m=768: (lambda: ballast.make_room(b, m))) \
+        if ballast is not None else (lambda b, m=768: None)
     tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
 
     # ---- phase 1: ours (full model, W8 base + W1 pair deltas) --------
     log(f"building serve world: {cfg.num_layers}L x {TENANTS} "
         f"tenants, W8 base + W1 deltas + 1-bit heads ...")
     serve_params, deltas = build_resilient(
-        lambda: build_serve_world(cfg), "serve world")
+        lambda: build_serve_world(cfg), "serve world",
+        before=room(ph["world"]))
 
     def ours_step(p, d, tokens, cache):
         return llama.decode_step(cfg, p, tokens, cache, deltas=d,
@@ -532,6 +602,8 @@ def run_rung(cfg, kernel, backend):
     # ---- phase 2: engine-level serving ------------------------------
     engine_tok_s = None
     if RUN_ENGINE:
+        if ballast is not None:
+            ballast.release(512)  # engine cache + executable workspace
         engine_tok_s = bench_engine(cfg, serve_params, deltas, kernel)
 
     del serve_params, deltas
@@ -540,7 +612,8 @@ def run_rung(cfg, kernel, backend):
     # ---- phase 3: naive bf16 (per-tenant dense fine-tunes) ----------
     log("building naive bf16 single model ...")
     params = build_resilient(lambda: build_naive_params(cfg),
-                             "naive bf16 model")
+                             "naive bf16 model",
+                             before=room(ph["naive"]))
 
     def naive_step(p, _unused, tokens, cache):
         # same kernel policy as ours (incl. flash decode attention) —
@@ -560,7 +633,8 @@ def run_rung(cfg, kernel, backend):
     del run_n, cache_n, tok_n
     gc.collect()
     params = build_resilient(lambda: quantize_naive_w8(params, cfg),
-                             "naive W8 model")
+                             "naive W8 model",
+                             before=room(ph["w8conv"], 512))
     run_n8, cache_n8, tok_n8 = make_chained(cfg, kernel, naive_step, 1)
     t_w8, _ = timed(run_n8, params, None, cache_n8, tok_n8)
     log(f"  naive W8:   {t_w8*1e3:.2f} ms/model-step x {TENANTS} = "
@@ -640,6 +714,7 @@ def main():
     outer_tries = int(os.environ.get("BENCH_OUTER_TRIES", "2"))
     backoff_s = int(os.environ.get("BENCH_OUTER_BACKOFF_S", "900"))
     last_err = None
+    ballast = None
     for outer in range(outer_tries):
         if outer:
             log(f"outer attempt {outer+1}/{outer_tries} after "
@@ -649,14 +724,17 @@ def main():
                        * 1.02 / 2**20) + 256
 
         if backend == "tpu":
-            free_mb = probe_free_hbm(limit_mb=need_of(*candidates[0]))
-            log(f"probed free HBM: ~{free_mb} MB "
-                f"(16384 MB chip; the rest is held/leaked)")
-            # Frees land asynchronously — wait until the probe's own
-            # buffers are actually gone before building anything.
-            settle_hbm(min(512, max(free_mb // 2, 128)))
+            # The ballast IS the probe: what we can grab is what we own
+            # (and a competing client can no longer steal it between
+            # phases — observed r3: freed memory vanished in seconds).
+            if ballast is None:
+                ballast = Ballast()
+            free_mb = ballast.grab(
+                passes=3, limit_mb=need_of(*candidates[0]) + 1024)
+            log(f"ballast owns ~{free_mb} MB "
+                f"(16384 MB chip; the rest is held/leaked/foreign)")
         else:
-            free_mb = 1 << 30
+            ballast, free_mb = None, 1 << 30
         for li, ti in candidates:
             TENANTS = ti
             cfg = build_cfg(li)
@@ -666,23 +744,20 @@ def main():
             need_mb = need_of(li, ti)
             if need_mb > free_mb:
                 log(f"  skip rung {li}L/T{ti}: needs ~{need_mb} MB "
-                    f"> ~{free_mb} MB free")
+                    f"> ~{free_mb} MB owned")
                 continue
             kernel = "pallas" if backend == "tpu" else "xla"
             try:
-                out = run_rung(cfg, kernel, backend)
+                out = run_rung(cfg, kernel, backend, ballast)
             except Exception as e:  # noqa: BLE001
                 if not _is_oom(e):
                     raise
                 last_err = e
                 gc.collect()
-                log(f"  rung {li}L/T{ti} OOMed mid-phase despite the "
-                    "probe — settling, then degrading")
-                if backend == "tpu":
-                    # The failed build's frees also land lazily; without
-                    # this the remaining rungs die instantly in cascade.
-                    settle_hbm(min(512, max(free_mb // 2, 128)),
-                               what="failed rung release")
+                log(f"  rung {li}L/T{ti} OOMed mid-phase — "
+                    "reconsolidating ballast, degrading")
+                if ballast is not None:
+                    free_mb = ballast.grab(passes=2)
                 continue
             if (li, ti) != (L0, T0):
                 # Pooled-chip HBM was short even after retries; the
