@@ -415,44 +415,6 @@ def _emit_error(stage, err):
     }), flush=True)
 
 
-def probe_free_hbm(limit_mb=1 << 20):
-    """Estimate free HBM (MB) by progressive materialization.
-
-    The pooled chip exposes no memory_stats through the relay and
-    allocation is LAZY, so the only reliable signal is materializing
-    buffers until one OOMs. Buffers are held cumulatively then all
-    released; the process stays alive so nothing leaks server-side.
-    ``limit_mb`` stops the probe once enough is confirmed for the
-    largest candidate rung — probing the whole chip churns GBs of
-    allocations for no decision value. r02 died at a plain
-    materialization on a chip holding ~13 GB leaked — this probe lets
-    the ladder SKIP rungs that cannot fit instead of paying
-    retries x backoff at each."""
-    held, total, i = [], 0, 0
-    pending = [256, 256, 512, 1024] + [2048] * 6 + [1024, 512]
-    while pending and total < limit_mb:
-        mb = pending.pop(0)
-        x = None
-        try:
-            x = jax.random.bits(jax.random.PRNGKey(1000 + i),
-                                (mb * 1024 * 1024 // 4,), jnp.uint32)
-            i += 1
-            float(x[:8].astype(jnp.float32).sum())
-        except Exception as e:  # noqa: BLE001
-            del x
-            if not _is_oom(e):
-                raise
-            if mb > 256:  # refine: bisect the failed step down
-                pending = [mb // 2]
-                continue
-            break
-        held.append(x)
-        total += mb
-    del held
-    gc.collect()
-    return total
-
-
 class Ballast:
     """Own the pool's free HBM so a competing client can't steal it
     between bench phases.
@@ -504,36 +466,6 @@ class Ballast:
         """Consolidate then free need+margin for an imminent build."""
         self.grab(passes=1)
         self.release(need_bytes / 2**20 + margin_mb)
-
-
-def settle_hbm(mb=256, timeout_s=240, what="probe release"):
-    """Wait until a ``mb``-sized materialization succeeds.
-
-    Frees through the relay land ASYNCHRONOUSLY: right after the probe
-    releases gigabytes, even a 24-byte op can still RESOURCE_EXHAUSTED
-    (observed r3: both 8L rungs died instantly at a jnp.arange following
-    a successful 6 GB probe). Poll with a real allocation until the
-    server-side frees are visible, bounded by ``timeout_s``."""
-    t0 = time.time()
-    i = 0
-    while True:
-        x = None
-        try:
-            x = jax.random.bits(jax.random.PRNGKey(7000 + i),
-                                (mb * 1024 * 1024 // 4,), jnp.uint32)
-            float(x[:8].astype(jnp.float32).sum())
-            del x
-            return True
-        except Exception as e:  # noqa: BLE001
-            del x
-            if not _is_oom(e):
-                raise
-            if time.time() - t0 > timeout_s:
-                log(f"  settle after {what}: still OOM at {mb} MB after "
-                    f"{timeout_s}s")
-                return False
-            i += 1
-            time.sleep(10)
 
 
 def phase_bytes(cfg, tenants):

@@ -491,8 +491,11 @@ class Engine:
             fn(self.stack.params, self.stack.deltas, jnp.asarray(tokens),
                jnp.asarray([1], jnp.int32), jnp.asarray([0], jnp.int32),
                self.stack.vocab_sizes)
-        # Near-cap fallback chunks (smaller powers of two) compile lazily
-        # if ever hit; warming every size would multiply boot compiles.
+        # step() always uses decode_chunk (per-lane rem budgets park
+        # near-cap lanes on device instead of shrinking the chunk), so
+        # ONE chunk program serves the engine's whole life; extra
+        # ``chunks`` entries are only for callers that plan to rebuild
+        # the engine with a different decode_chunk later.
         ks = sorted({*chunks} | {self.decode_chunk})
         active = np.zeros((self.max_slots,), bool)  # lengths stay parked
         for k in ks:

@@ -61,7 +61,8 @@ def build_world(L):
                       num_kv_heads=max(8 // SHRINK, 1),
                       max_seq_len=max(SEQLEN, 128), dtype="bfloat16")
     base = llama.init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
-    keys = iter(jax.random.split(jax.random.PRNGKey(1), 64))
+    # 7 projection stacks x L layers of perturbation keys (+ slack).
+    keys = iter(jax.random.split(jax.random.PRNGKey(1), 8 * L + 16))
     fine = dict(base)
     fine["layers"] = {}
     for k, v in base["layers"].items():

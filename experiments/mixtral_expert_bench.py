@@ -38,7 +38,7 @@ E = 8
 TOPK = int(os.environ.get("TOPK", "2"))
 K = 4096 // SHRINK
 N = 14336 // SHRINK // 256 * 256
-STEPS = int(os.environ.get("STEPS", "64"))
+STEPS = int(os.environ.get("STEPS", "512"))
 TRIALS = int(os.environ.get("TRIALS", "3"))
 XLA_DENSE = os.environ.get("XLA_DENSE", "0") == "1"
 
@@ -47,14 +47,38 @@ def log(m):
     print(m, file=sys.stderr, flush=True)
 
 
+_FLOOR = None
+
+
+def _measure_floor():
+    """Null jit-call + readback cost through the relay (CLAUDE.md
+    measurement rule: floor-correct AND chain, else the 30-140 ms
+    round-trip inflates per-step numbers)."""
+    @jax.jit
+    def null(x):
+        return x.sum()
+    x = jnp.ones((8,), jnp.float32)
+    float(null(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(null(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
 def _timeit(run, x0, ops, work_elems):
+    global _FLOOR
+    if _FLOOR is None:
+        _FLOOR = _measure_floor()
+        log(f"null-call floor: {_FLOOR*1e3:.1f} ms (subtracted)")
     v = float(run(x0, *ops))  # compile + first call
     ts = []
     for _ in range(TRIALS):
         t0 = time.perf_counter()
         v = float(run(x0, *ops))
         ts.append(time.perf_counter() - t0)
-    per = min(ts) / STEPS
+    per = max(min(ts) - _FLOOR, 1e-9) / STEPS
     log(f"  {per*1e6:9.1f} us/call  {work_elems/per/1e9:8.2f} "
         f"G unpacked-elem/s  (checksum {v:.3e})")
     return per
