@@ -506,6 +506,11 @@ def run_rung(cfg, kernel, backend, ballast=None):
     ph = phase_bytes(cfg, TENANTS)
     room = (lambda b, m=768: (lambda: ballast.make_room(b, m))) \
         if ballast is not None else (lambda b, m=768: None)
+    if ballast is not None:
+        # A full ballast leaves ZERO free HBM — even a 24-byte iota
+        # OOMs (observed). Keep a small working float for the host-side
+        # scalars/ids created outside the room-guarded builds.
+        ballast.release(256)
     tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
 
     # ---- phase 1: ours (full model, W8 base + W1 pair deltas) --------
@@ -665,6 +670,7 @@ def main():
                 passes=3, limit_mb=need_of(*candidates[0]) + 1024)
             log(f"ballast owns ~{free_mb} MB "
                 f"(16384 MB chip; the rest is held/leaked/foreign)")
+            ballast.release(256)  # working float for tiny host allocs
         else:
             ballast, free_mb = None, 1 << 30
         for li, ti in candidates:
