@@ -49,7 +49,9 @@ _SLOW = {
     "tests/test_mixtral.py::test_mixtral_mesh_engine_matches_single_device",
     "tests/test_mixtral.py::test_mixtral_multitenant_serving",
     "tests/test_mixtral.py::test_mixtral_pallas_engine_matches_xla",
+    "tests/test_mixtral.py::test_mixtral_routed_expert_deltas_match_dense_fusion",
     "tests/test_mixtral.py::test_mixtral_routed_pallas_pair_matches_xla",
+    "tests/test_mixtral.py::test_mixtral_tp_pallas_shardmap_matches_single_device",
     "tests/test_mixtral.py::test_mixtral_sharded_forward_matches_unsharded",
     "tests/test_mixtral.py::test_mixtral_sliding_window_flash_decode_matches_xla",
     "tests/test_model.py::test_decode_with_unequal_lengths",
@@ -64,9 +66,12 @@ _SLOW = {
     "tests/test_research.py::test_moe_ffn_routing_matches_dense_experts",
     "tests/test_research.py::test_w4_base_mesh_serving_matches_single_device",
     "tests/test_research.py::test_w4_base_serving_matches_dequantized_dense",
+    "tests/test_research.py::test_w4_pallas_mesh_matches_single_device",
     "tests/test_research.py::test_w8_base_serving_matches_dequantized_dense",
     "tests/test_server.py::test_engine_warmup_compiles_buckets",
     "tests/test_serving.py::test_chunked_decode_matches_stepwise",
+    "tests/test_serving.py::test_chunked_decode_stop_parks_lane_on_device",
+    "tests/test_serving.py::test_device_stop_overflow_still_stops",
     "tests/test_serving.py::test_chunked_decode_stop_tokens_truncate",
     "tests/test_serving.py::test_continuous_batching_admission",
     "tests/test_serving.py::test_engine_int8_kv_mesh_matches_single_device",
