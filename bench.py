@@ -455,12 +455,37 @@ class Ballast:
                 time.sleep(sleep_s)
         return self.held_mb()
 
-    def release(self, mb):
+    def release(self, mb, settle_s=90):
+        """Free ``mb`` worth of blocks and WAIT until the release is
+        observable: frees through the relay land asynchronously, and an
+        allocation issued right after a release can still OOM (measured:
+        a 24-byte iota failed immediately after freeing 256 MB)."""
         n = min((int(mb) + self.BLOCK_MB - 1) // self.BLOCK_MB,
                 len(self.blocks))
-        if n:
-            del self.blocks[-n:]
-            gc.collect()
+        if not n:
+            return
+        del self.blocks[-n:]
+        gc.collect()
+        t0 = time.time()
+        i = 0
+        while True:
+            x = None
+            try:
+                x = jax.random.bits(jax.random.PRNGKey(90000 + i),
+                                    (8 * 1024 * 1024 // 4,), jnp.uint32)
+                float(x[:8].astype(jnp.float32).sum())
+                del x
+                return
+            except Exception as e:  # noqa: BLE001
+                del x
+                if not _is_oom(e):
+                    raise
+                if time.time() - t0 > settle_s:
+                    log("  ballast release: frees still not visible "
+                        f"after {settle_s}s")
+                    return
+                i += 1
+                time.sleep(3)
 
     def make_room(self, need_bytes, margin_mb=768):
         """Consolidate then free need+margin for an imminent build."""
@@ -680,9 +705,13 @@ def main():
             # skip HOPELESS rungs fast on a leaked chip, not to predict
             # marginal fits — run_rung's retry/degrade handles those.
             need_mb = need_of(li, ti)
-            if need_mb > free_mb:
+            if need_mb > free_mb + 1024:
+                # Only skip CLEARLY hopeless rungs: the need estimate
+                # already carries margins, and run_rung retries; a rung
+                # within ~1 GB of owned is worth attempting (observed:
+                # a 14376-need rung was skipped at 14336 owned).
                 log(f"  skip rung {li}L/T{ti}: needs ~{need_mb} MB "
-                    f"> ~{free_mb} MB owned")
+                    f">> ~{free_mb} MB owned")
                 continue
             kernel = "pallas" if backend == "tpu" else "xla"
             try:
