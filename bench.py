@@ -371,37 +371,6 @@ def build_naive_params(cfg):
     return params
 
 
-def quantize_naive_w8(params, cfg):
-    """Leaf-wise int8 quantization with per-layer granularity (the
-    vectorized quantize_int8 stages an (L, K, N) f32 temp — 7.5 GB on
-    down_proj — next to the rest of the model).
-
-    MUTATES ``params`` IN PLACE (assigns each quantized projection back
-    into the caller-visible layers dict): the Int8Weight isinstance
-    check above relies on this so an OOM retry resumes from the
-    already-quantized layers instead of redoing them all. A non-mutating
-    refactor would silently break retry resumption."""
-    from bitdelta_tpu.research.quantized_base import Int8Weight, quantize_int8
-
-    params["layers"] = dict(params["layers"])
-    for name in proj_shapes(cfg):
-        w = params["layers"][name]
-        if isinstance(w, Int8Weight):  # already done (retry safety)
-            continue
-        qs, ss = [], []
-        for l in range(w.shape[0]):
-            qw = quantize_int8(w[l])
-            qs.append(qw.q)
-            ss.append(qw.scale)
-            qs[-1].block_until_ready()
-        params["layers"][name] = Int8Weight(q=jnp.stack(qs),
-                                            scale=jnp.stack(ss))
-        jax.block_until_ready(params["layers"][name])
-        del w
-        gc.collect()
-    return params
-
-
 def _emit_error(stage, err):
     """One parseable JSON line even on catastrophic failure, so the
     round artifact records WHY there's no number instead of being
@@ -415,320 +384,247 @@ def _emit_error(stage, err):
     }), flush=True)
 
 
-class Ballast:
-    """Own the pool's free HBM so a competing client can't steal it
-    between bench phases.
-
-    Observed r3: a competitor expands into freed memory within seconds
-    — after the probe released 6 GB, even 512 MB stayed unallocatable
-    for 4+ minutes. Holding materialized 256 MB blocks and releasing
-    exactly a phase's need right before its build shrinks the theft
-    window from minutes to the build's own duration. ``grab`` doubles
-    as the free-HBM probe (held_mb == what we actually own)."""
-
-    BLOCK_MB = 256
-
-    def __init__(self):
-        self.blocks = []
-        self._i = 0
-
-    def held_mb(self):
-        return len(self.blocks) * self.BLOCK_MB
-
-    def grab(self, passes=2, sleep_s=15, limit_mb=1 << 20):
-        for p in range(passes):
-            while self.held_mb() < limit_mb:
-                x = None
-                try:
-                    x = jax.random.bits(
-                        jax.random.PRNGKey(50000 + self._i),
-                        (self.BLOCK_MB * 1024 * 1024 // 4,), jnp.uint32)
-                    self._i += 1
-                    float(x[:8].astype(jnp.float32).sum())
-                except Exception as e:  # noqa: BLE001
-                    del x
-                    if not _is_oom(e):
-                        raise
-                    break
-                self.blocks.append(x)
-            if p < passes - 1 and self.held_mb() < limit_mb:
-                time.sleep(sleep_s)
-        return self.held_mb()
-
-    def release(self, mb, settle_s=90):
-        """Free ``mb`` worth of blocks and WAIT until the release is
-        observable: frees through the relay land asynchronously, and an
-        allocation issued right after a release can still OOM (measured:
-        a 24-byte iota failed immediately after freeing 256 MB)."""
-        n = min((int(mb) + self.BLOCK_MB - 1) // self.BLOCK_MB,
-                len(self.blocks))
-        if not n:
-            return
-        del self.blocks[-n:]
-        gc.collect()
-        t0 = time.time()
-        i = 0
-        while True:
-            x = None
-            try:
-                x = jax.random.bits(jax.random.PRNGKey(90000 + i),
-                                    (8 * 1024 * 1024 // 4,), jnp.uint32)
-                float(x[:8].astype(jnp.float32).sum())
-                del x
-                return
-            except Exception as e:  # noqa: BLE001
-                del x
-                if not _is_oom(e):
-                    raise
-                if time.time() - t0 > settle_s:
-                    log("  ballast release: frees still not visible "
-                        f"after {settle_s}s")
-                    return
-                i += 1
-                time.sleep(3)
-
-    def make_room(self, need_bytes, margin_mb=768):
-        """Consolidate then free need+margin for an imminent build."""
-        self.grab(passes=1)
-        self.release(need_bytes / 2**20 + margin_mb)
 
 
-def phase_bytes(cfg, tenants):
-    """Per-phase HBM needs at one (L, T) rung (each phase frees the
-    previous; ``w8conv`` is the transient peak ON TOP of the held bf16
-    model while quantize_naive_w8 converts proj-by-proj)."""
-    L, T = cfg.num_layers, tenants
-    D, V = cfg.hidden_size, cfg.vocab_size
-    pe = sum(k * n for k, n in proj_shapes(cfg).values()) * L
-    kv1 = 2 * L * MAX_SEQ * cfg.num_kv_heads * cfg.head_dim * 2
-    world = (pe                      # int8 base
-             + pe // 8 * T           # packed deltas (canonical or pair)
-             + 2 * D * V * 2         # shared bf16 embed + lm_head
-             + 2 * D * V // 8 * T    # 1-bit head deltas
-             + T * V * 8             # pair colsum f32 (head + per-proj)
-             + kv1 * T)              # chain cache OR engine slots cache
-    naive = pe * 2 + 2 * D * V * 2 + kv1
-    biggest = max(k * n for k, n in proj_shapes(cfg).values())
-    # int8 slices + their stacked copy for the biggest proj + one f32
-    # layer-slice temp, ON TOP of the (shrinking) bf16 model.
-    w8conv = 2 * biggest * L + biggest * 4
-    return {"world": world, "naive": naive, "w8conv": w8conv}
+# ---------------------------------------------------------------------------
+# Phase bodies — each runs in its OWN subprocess.
+#
+# Measured round 3: in-process frees through the pooled-chip relay are
+# effectively never returned to the pool (a 24-byte allocation still
+# RESOURCE_EXHAUSTED 90+ s after freeing 256 MB, while a freshly started
+# process could grab 14.8 GB the moment its predecessor exited; a
+# ballast-and-carve strategy failed for the same reason). The only
+# reliable "free" is process exit — so the bench's phases, which
+# previously freed one world to build the next, now each allocate ONCE
+# in a child process, measure, print one JSON line, and exit.
+# ---------------------------------------------------------------------------
 
-
-def rung_peak_bytes(cfg, tenants):
-    ph = phase_bytes(cfg, tenants)
-    return max(ph["world"], ph["naive"])
-
-
-def run_rung(cfg, kernel, backend, ballast=None):
-    """All four phases (ours, engine, naive bf16, naive W8) at ONE
-    (L, T) rung. Raises on OOM so the caller can degrade the rung;
-    everything built here is local and dies with the frame.
-
-    ``ballast``: when the pooled chip has a competing client, the
-    ballast owns the free HBM and each phase carves out exactly its
-    need right before building (see Ballast)."""
-    ph = phase_bytes(cfg, TENANTS)
-    room = (lambda b, m=768: (lambda: ballast.make_room(b, m))) \
-        if ballast is not None else (lambda b, m=768: None)
-    if ballast is not None:
-        # A full ballast leaves ZERO free HBM — even a 24-byte iota
-        # OOMs (observed). Keep a small working float for the host-side
-        # scalars/ids created outside the room-guarded builds.
-        ballast.release(256)
+def phase_ours(cfg, kernel):
+    """Multi-tenant serving step + engine tok/s (W8 base + W1 deltas)."""
     tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
-
-    # ---- phase 1: ours (full model, W8 base + W1 pair deltas) --------
-    log(f"building serve world: {cfg.num_layers}L x {TENANTS} "
-        f"tenants, W8 base + W1 deltas + 1-bit heads ...")
+    log(f"[ours] building serve world: {cfg.num_layers}L x {TENANTS}T, "
+        "W8 base + W1 deltas + 1-bit heads ...")
     serve_params, deltas = build_resilient(
-        lambda: build_serve_world(cfg), "serve world",
-        before=room(ph["world"]))
+        lambda: build_serve_world(cfg), "serve world")
 
     def ours_step(p, d, tokens, cache):
         return llama.decode_step(cfg, p, tokens, cache, deltas=d,
                                  tenant_ids=tenant_ids,
                                  compute_dtype=jnp.bfloat16, kernel=kernel)
 
-    log("compiling + running ours (multi-tenant fused) ...")
+    log("[ours] compiling + running the chained multi-tenant step ...")
     run_o, cache_o, tok_o = make_chained(cfg, kernel, ours_step, TENANTS)
     t_ours, c1 = timed(run_o, serve_params, deltas, cache_o, tok_o)
-    log(f"  ours: {t_ours*1e3:.2f} ms/step = {TENANTS/t_ours:.1f} tok/s "
+    log(f"[ours] {t_ours*1e3:.2f} ms/step = {TENANTS/t_ours:.1f} tok/s "
         f"(first call incl compile {c1:.0f}s)")
     del run_o, cache_o, tok_o
-    acct = accounting(cfg, t_ours)
-    log(f"  modeled floors: hbm {acct['hbm_frac']:.2f} vpu "
-        f"{acct['vpu_frac']:.2f} sol(overlap) "
-        f"{acct['sol_frac_overlapped']:.2f} of measured step")
-
-    # ---- phase 2: engine-level serving ------------------------------
-    engine_tok_s = None
+    out = {"phase": "ours", "t_step": t_ours,
+           **accounting(cfg, t_ours)}
     if RUN_ENGINE:
-        if ballast is not None:
-            ballast.release(512)  # engine cache + executable workspace
-        engine_tok_s = bench_engine(cfg, serve_params, deltas, kernel)
+        out["engine_tok_s"] = bench_engine(cfg, serve_params, deltas,
+                                           kernel)
+    return out
 
-    del serve_params, deltas
-    gc.collect()
 
-    # ---- phase 3: naive bf16 (per-tenant dense fine-tunes) ----------
-    log("building naive bf16 single model ...")
-    params = build_resilient(lambda: build_naive_params(cfg),
-                             "naive bf16 model",
-                             before=room(ph["naive"]))
-
+def _naive_step_fn(cfg, kernel):
     def naive_step(p, _unused, tokens, cache):
         # same kernel policy as ours (incl. flash decode attention) —
         # the comparison isolates the multi-tenant decomposition, not
         # attention implementation differences.
         return llama.decode_step(cfg, p, tokens, cache,
                                  compute_dtype=jnp.bfloat16, kernel=kernel)
+    return naive_step
 
-    log("compiling + running naive bf16 (single-tenant dense) ...")
-    run_n, cache_n, tok_n = make_chained(cfg, kernel, naive_step, 1)
-    t_bf16, _ = timed(run_n, params, None, cache_n, tok_n)
-    log(f"  naive bf16: {t_bf16*1e3:.2f} ms/model-step x {TENANTS} = "
-        f"{t_bf16*TENANTS*1e3:.2f} ms")
 
-    # ---- phase 4: naive W8 (quantized fine-tunes; apples-to-apples) --
-    log("quantizing naive model to W8 (layer-wise) ...")
-    del run_n, cache_n, tok_n
-    gc.collect()
-    params = build_resilient(lambda: quantize_naive_w8(params, cfg),
-                             "naive W8 model",
-                             before=room(ph["w8conv"], 512))
-    run_n8, cache_n8, tok_n8 = make_chained(cfg, kernel, naive_step, 1)
-    t_w8, _ = timed(run_n8, params, None, cache_n8, tok_n8)
-    log(f"  naive W8:   {t_w8*1e3:.2f} ms/model-step x {TENANTS} = "
-        f"{t_w8*TENANTS*1e3:.2f} ms")
-    del run_n8, cache_n8, tok_n8, params
-    gc.collect()
+def phase_naive_bf16(cfg, kernel):
+    """One dense bf16 fine-tune served alone (the reference's users'
+    status quo); the combiner multiplies by T."""
+    log("[naive_bf16] building dense bf16 model ...")
+    params = build_resilient(lambda: build_naive_params(cfg),
+                             "naive bf16 model")
+    log("[naive_bf16] compiling + running ...")
+    run_n, cache_n, tok_n = make_chained(cfg, kernel,
+                                         _naive_step_fn(cfg, kernel), 1)
+    t, _ = timed(run_n, params, None, cache_n, tok_n)
+    log(f"[naive_bf16] {t*1e3:.2f} ms/model-step")
+    return {"phase": "naive_bf16", "t_step": t}
 
-    toks_ours = TENANTS / t_ours
-    speedup = t_bf16 * TENANTS / t_ours
-    speedup_w8 = t_w8 * TENANTS / t_ours
-    log(f"ours {toks_ours:.1f} tok/s/chip ({TENANTS} full "
-        f"{cfg.num_layers}L tenants); speedup vs naive bf16 "
-        f"{speedup:.2f}x, vs naive W8 {speedup_w8:.2f}x "
-        f"(reference ~{REFERENCE_SPEEDUP}x)")
 
+def build_naive_w8_params(cfg):
+    """Random W8 single model built DIRECTLY in int8 (decode timing
+    depends only on shapes/dtypes; converting a bf16 model in-process
+    would hold both copies — see the module notes on unreturned frees)."""
+    from bitdelta_tpu.research.quantized_base import Int8Weight
+
+    keys = iter(jax.random.split(jax.random.PRNGKey(3), 64))
+    L, D, V = cfg.num_layers, cfg.hidden_size, cfg.vocab_size
+    layers = {
+        "attn_norm": jnp.ones((L, D), jnp.bfloat16),
+        "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
+    }
+    for name, (k, n) in proj_shapes(cfg).items():
+        layers[name] = Int8Weight(
+            q=rand_bits(next(keys), (L, k, n), jnp.int8),
+            scale=jnp.full((L, n), 2e-4, jnp.float32))
+    return {
+        "layers": layers,
+        "final_norm": jnp.ones((D,), jnp.bfloat16),
+        "embed": (jax.random.normal(next(keys), (V, D), jnp.bfloat16)
+                  * 0.02),
+        "lm_head": (jax.random.normal(next(keys), (D, V), jnp.bfloat16)
+                    * 0.02),
+    }
+
+
+def phase_naive_w8(cfg, kernel):
+    """One int8-quantized fine-tune served alone (apples-to-apples
+    weight precision with our shared base)."""
+    log("[naive_w8] building int8 model ...")
+    params = build_resilient(lambda: build_naive_w8_params(cfg),
+                             "naive W8 model")
+    log("[naive_w8] compiling + running ...")
+    run_n, cache_n, tok_n = make_chained(cfg, kernel,
+                                         _naive_step_fn(cfg, kernel), 1)
+    t, _ = timed(run_n, params, None, cache_n, tok_n)
+    log(f"[naive_w8] {t*1e3:.2f} ms/model-step")
+    return {"phase": "naive_w8", "t_step": t}
+
+
+PHASES = {"ours": phase_ours, "naive_bf16": phase_naive_bf16,
+          "naive_w8": phase_naive_w8}
+
+
+def child_main():
+    """One phase at one rung: allocate once, measure, print JSON, exit
+    (the exit is what actually returns the HBM to the pool)."""
+    global _FLOOR
+    import threading
+
+    phase = os.environ["BENCH_PHASE"]
+    backend = jax.default_backend()
+    acquire_s = int(os.environ.get("BENCH_ACQUIRE_TIMEOUT_S", "2700"))
+    acquired = threading.Event()
+
+    def _acquire_watchdog():
+        if not acquired.wait(acquire_s):
+            log(f"[{phase}] chip not acquired after {acquire_s}s")
+            print(json.dumps({"phase": phase,
+                              "error": f"chip acquire > {acquire_s}s"}),
+                  flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_acquire_watchdog, daemon=True).start()
+    log(f"[{phase}] backend: {backend}, devices: {jax.devices()}")
+    _FLOOR = measure_floor()
+    acquired.set()
+    log(f"[{phase}] null-call floor: {_FLOOR*1e3:.1f} ms (subtracted)")
+    cfg = build_cfg()
+    kernel = "pallas" if backend == "tpu" else "xla"
+    try:
+        out = PHASES[phase](cfg, kernel)
+        out["backend"] = backend
+    except Exception as e:  # noqa: BLE001
+        import traceback
+        traceback.print_exc()
+        sys.stderr.flush()
+        print(json.dumps({"phase": phase, "error": repr(e)[:500]}),
+              flush=True)
+        sys.exit(1)
+    print(json.dumps(out), flush=True)
+
+
+def run_phase(phase, li, ti):
+    """Launch one phase subprocess; return (rc, parsed record or None).
+    Child stderr streams through to ours (live progress)."""
+    import subprocess
+
+    env = {**os.environ, "BENCH_PHASE": phase,
+           "BENCH_LAYERS": str(li), "BENCH_TENANTS": str(ti)}
+    p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                       env=env, stdout=subprocess.PIPE, text=True)
+    rec = None
+    for line in reversed(p.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+            break
+        except ValueError:
+            continue
+    return p.returncode, rec
+
+
+def combine(recs, li, ti, backend="tpu"):
+    t_ours = recs["ours"]["t_step"]
+    t_bf16 = recs["naive_bf16"]["t_step"]
+    t_w8 = recs["naive_w8"]["t_step"]
+    toks_ours = ti / t_ours
+    speedup = t_bf16 * ti / t_ours
+    speedup_w8 = t_w8 * ti / t_ours
+    log(f"ours {toks_ours:.1f} tok/s/chip ({ti} full {li}L tenants); "
+        f"speedup vs naive bf16 {speedup:.2f}x, vs naive W8 "
+        f"{speedup_w8:.2f}x (reference ~{REFERENCE_SPEEDUP}x)")
     out = {
         "metric": "multitenant_1bit_decode_speedup_vs_naive",
         "value": round(speedup, 3),
-        "unit": f"x (T={TENANTS} FULL Mistral-7B {cfg.num_layers}L, "
-                f"ours=W8 base+W1 pair deltas+1-bit heads vs naive bf16 "
-                f"dense/tenant, {backend})",
+        "unit": f"x (T={ti} FULL Mistral-7B {li}L, ours=W8 base+W1 pair "
+                f"deltas+1-bit heads vs naive bf16 dense/tenant, "
+                f"{backend})",
         "vs_baseline": round(speedup / REFERENCE_SPEEDUP, 3),
         "tok_s_per_chip": round(toks_ours, 1),
         "ms_per_step": round(t_ours * 1e3, 2),
         "speedup_vs_naive_w8": round(speedup_w8, 3),
         "naive_bf16_ms": round(t_bf16 * 1e3, 2),
         "naive_w8_ms": round(t_w8 * 1e3, 2),
-        **acct,
     }
-    if engine_tok_s is not None:
-        out["engine_tok_s"] = round(engine_tok_s, 1)
-        out["engine_vs_raw_chain"] = round(engine_tok_s / toks_ours, 3)
+    for k in ("hbm_bytes_per_step", "vpu_unpacked_elems_per_step",
+              "hbm_frac", "vpu_frac", "sol_frac_overlapped",
+              "engine_tok_s"):
+        if k in recs["ours"]:
+            out[k] = recs["ours"][k]
+    if "engine_tok_s" in out:
+        out["engine_vs_raw_chain"] = round(out["engine_tok_s"]
+                                           / toks_ours, 3)
     return out
 
 
 def main():
-    global _FLOOR, TENANTS
-    import threading
+    if os.environ.get("BENCH_PHASE"):
+        return child_main()
 
-    backend = jax.default_backend()
-
-    # The pooled chip can be held by another client for a long time; the
-    # first device op then blocks indefinitely with nothing printed. If
-    # we can't acquire within the window, record that and exit non-zero
-    # rather than dying silently at the caller's timeout.
-    acquire_s = int(os.environ.get("BENCH_ACQUIRE_TIMEOUT_S", "2700"))
-    acquired = threading.Event()
-
-    def _acquire_watchdog():
-        if not acquired.wait(acquire_s):
-            log(f"chip not acquired after {acquire_s}s — giving up")
-            _emit_error("chip_acquire",
-                        f"first device op still blocked after {acquire_s}s "
-                        "(pooled chip held by another client?)")
-            os._exit(3)
-
-    threading.Thread(target=_acquire_watchdog, daemon=True).start()
-    log(f"backend: {backend}, devices: {jax.devices()}")
-    _FLOOR = measure_floor()  # before the world fills HBM
-    acquired.set()
-    log(f"null-call floor: {_FLOOR*1e3:.1f} ms (subtracted)")
-
-    # Salvage ladder for a leaked/contended pooled chip: shed tenants
-    # first (T is the headline axis, keep it honest), then halve layers
-    # with tenants restored — an annotated 16L measurement beats an
-    # ERROR record. Anything below candidates[0] is marked degraded.
+    # PARENT: never touches the device (a phase child must find the
+    # pool as free as possible). Rung ladder: shed tenants first (T is
+    # the headline axis), then halve layers with tenants restored.
     L0, T0 = NUM_LAYERS, TENANTS
     candidates = [(L0, T0)]
     candidates += [(L0, t) for t in (4, 2) if t < T0]
     if L0 >= 16:
         candidates += [(L0 // 2, T0), (L0 // 2, 2), (L0 // 4, T0),
                        (L0 // 4, 2)]
-
-    # Outer attempts: between attempts the chip gets a LONG quiet window
-    # (leaked pooled-chip HBM has been observed to clear over tens of
-    # minutes; hammering makes it worse — CLAUDE.md).
     outer_tries = int(os.environ.get("BENCH_OUTER_TRIES", "2"))
-    backoff_s = int(os.environ.get("BENCH_OUTER_BACKOFF_S", "900"))
-    last_err = None
-    ballast = None
+    backoff_s = int(os.environ.get("BENCH_OUTER_BACKOFF_S", "600"))
+    last_err = "no rung completed"
     for outer in range(outer_tries):
         if outer:
             log(f"outer attempt {outer+1}/{outer_tries} after "
                 f"{backoff_s}s quiet backoff ...")
-        def need_of(li, ti):
-            return int(rung_peak_bytes(build_cfg(li), ti)
-                       * 1.02 / 2**20) + 256
-
-        if backend == "tpu":
-            # The ballast IS the probe: what we can grab is what we own
-            # (and a competing client can no longer steal it between
-            # phases — observed r3: freed memory vanished in seconds).
-            if ballast is None:
-                ballast = Ballast()
-            free_mb = ballast.grab(
-                passes=3, limit_mb=need_of(*candidates[0]) + 1024)
-            log(f"ballast owns ~{free_mb} MB "
-                f"(16384 MB chip; the rest is held/leaked/foreign)")
-            ballast.release(256)  # working float for tiny host allocs
-        else:
-            ballast, free_mb = None, 1 << 30
         for li, ti in candidates:
-            TENANTS = ti
-            cfg = build_cfg(li)
-            # Gate is deliberately loose (x1.02 + 256 MB): its job is to
-            # skip HOPELESS rungs fast on a leaked chip, not to predict
-            # marginal fits — run_rung's retry/degrade handles those.
-            need_mb = need_of(li, ti)
-            if need_mb > free_mb + 1024:
-                # Only skip CLEARLY hopeless rungs: the need estimate
-                # already carries margins, and run_rung retries; a rung
-                # within ~1 GB of owned is worth attempting (observed:
-                # a 14376-need rung was skipped at 14336 owned).
-                log(f"  skip rung {li}L/T{ti}: needs ~{need_mb} MB "
-                    f">> ~{free_mb} MB owned")
+            log(f"=== rung {li}L/T{ti} ===")
+            recs = {}
+            failed = None
+            for phase in ("ours", "naive_bf16", "naive_w8"):
+                rc, rec = run_phase(phase, li, ti)
+                if rc != 0 or rec is None or "error" in (rec or {}):
+                    failed = (phase, rc,
+                              (rec or {}).get("error", "no record"))
+                    break
+                recs[phase] = rec
+            if failed:
+                last_err = (f"rung {li}L/T{ti} phase {failed[0]} "
+                            f"rc={failed[1]}: {failed[2]}")
+                log(f"  {last_err} — degrading")
                 continue
-            kernel = "pallas" if backend == "tpu" else "xla"
-            try:
-                out = run_rung(cfg, kernel, backend, ballast)
-            except Exception as e:  # noqa: BLE001
-                if not _is_oom(e):
-                    raise
-                last_err = e
-                gc.collect()
-                log(f"  rung {li}L/T{ti} OOMed mid-phase — "
-                    "reconsolidating ballast, degrading")
-                if ballast is not None:
-                    free_mb = ballast.grab(passes=2)
-                continue
+            out = combine(recs, li, ti,
+                          backend=recs["ours"].get("backend", "tpu"))
             if (li, ti) != (L0, T0):
-                # Pooled-chip HBM was short even after retries; the
-                # config was reduced — value/unit say what actually ran.
                 out["degraded_from_layers"] = L0
                 out["degraded_from_tenants"] = T0
                 out["num_layers"], out["tenants"] = li, ti
@@ -736,8 +632,7 @@ def main():
             return
         if outer < outer_tries - 1:
             time.sleep(backoff_s)
-    raise last_err or RuntimeError(
-        "no bench rung fit the probed free HBM on any outer attempt")
+    raise RuntimeError(f"all rungs failed; last: {last_err}")
 
 
 if __name__ == "__main__":
