@@ -130,20 +130,35 @@ def run(L):
 
 
 def main():
-    log(f"backend={jax.default_backend()}")
-    last = None
+    # Depth ladder via SUBPROCESSES: in-process frees through the relay
+    # never return to the pool (bench.py module notes), so a failed
+    # deeper rung would poison every shallower retry in the same
+    # process. Each rung allocates fresh and exits.
+    if os.environ.get("DISTILL_CHILD"):
+        log(f"backend={jax.default_backend()}")
+        print(json.dumps(run(int(os.environ["LAYERS"]))))
+        return
+    import subprocess
+    import sys as _sys
+
     for L in [l for l in (LAYERS0, 8, 4) if l <= LAYERS0]:
-        try:
-            out = run(L)
-            print(json.dumps(out))
+        log(f"=== distill rung {L}L ===")
+        p = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__)],
+            env={**os.environ, "DISTILL_CHILD": "1", "LAYERS": str(L)},
+            stdout=subprocess.PIPE, text=True)
+        rec = None
+        for line in reversed(p.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if p.returncode == 0 and rec is not None:
+            print(json.dumps(rec))
             return
-        except Exception as e:  # noqa: BLE001
-            if "RESOURCE_EXHAUSTED" not in repr(e):
-                raise
-            last = e
-            gc.collect()
-            log(f"  {L}L OOMed — degrading")
-    raise last
+        log(f"  {L}L rung failed (rc={p.returncode}) — degrading")
+    raise RuntimeError("all distill rungs failed")
 
 
 if __name__ == "__main__":
