@@ -51,9 +51,16 @@ def log(m):
 
 
 def build_world(L):
-    """Base + a sign-varying fine-tune (random 0.5%-scale perturbation:
-    the 1-bit delta is inexact, so the scales have something to learn —
-    a pure multiplicative tweak would distill to ~0 instantly)."""
+    """Base + a HEAVY-TAILED synthetic fine-tune.
+
+    An iid-Gaussian perturbation makes mean|diff| already L2-optimal
+    per matrix, so scale distillation has nothing to learn (measured:
+    1.60 -> 1.58 over 200 steps). Real fine-tunes are heavy-tailed —
+    a few weights move a lot — and there the encoder's mean|diff|
+    over-weights the outliers, leaving the logit-matching objective
+    real headroom, which is the regime the reference's 0.41 -> 0.052
+    curve demonstrates. Cubing a standard normal (kurtosis ~46 vs 3)
+    reproduces that regime synthetically."""
     cfg = ModelConfig(vocab_size=32000 // SHRINK // 256 * 256,
                       hidden_size=4096 // SHRINK,
                       intermediate_size=14336 // SHRINK // 256 * 256,
@@ -70,9 +77,9 @@ def build_world(L):
             # layer-wise to bound fp32 temps on a tight chip
             rows = []
             for l in range(v.shape[0]):
-                nz = (0.005 * jax.random.normal(next(keys), v.shape[1:],
-                                                jnp.bfloat16))
-                rows.append(v[l] + nz)
+                g = jax.random.normal(next(keys), v.shape[1:],
+                                      jnp.bfloat16)
+                rows.append(v[l] + 0.002 * g * g * g)
                 rows[-1].block_until_ready()
             fine["layers"][k] = jnp.stack(rows)
         else:
@@ -85,6 +92,17 @@ def run(L):
     cfg, base, fine = build_world(L)
     log(f"world {L}L built; compressing ...")
     comp = compress_model(base, fine)
+    corrupt = float(os.environ.get("DISTILL_CORRUPT", "0"))
+    if corrupt:
+        # Controlled-recovery mode: deliberately mis-scale the encoder
+        # output by x``corrupt`` — distillation must walk the scales
+        # back to the well-initialized loss floor. This isolates what
+        # the reference's 0.41 -> 0.052 curve shows (initial scales far
+        # from the logit-matching optimum) without needing a real
+        # fine-tune, which a zero-egress environment cannot download.
+        deltas = {k: d._replace(scale=d.scale * corrupt)
+                  for k, d in comp.deltas.items()}
+        comp = comp._replace(deltas=deltas)
     dcfg = DistillConfig(lr=1e-4, num_steps=STEPS,
                          compute_dtype="bfloat16", kernel="xla")
     optimizer = optax.adamw(optax.cosine_decay_schedule(dcfg.lr, STEPS),
@@ -122,6 +140,7 @@ def run(L):
         "curve_every10": [round(x, 5) for x in losses],
         "steps": STEPS, "batch": BATCH, "seqlen": SEQLEN,
         "num_layers": L, "shrink": SHRINK,
+        "scale_corrupt": float(os.environ.get("DISTILL_CORRUPT", "0")),
         "ms_per_step_steady": round(steady * 1e3, 1),
         "wall_s": round(wall, 1),
         "ms_per_step_32L_extrapolated": round(steady * 1e3 * 32 / L, 1),
