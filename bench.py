@@ -68,7 +68,11 @@ REFERENCE_SPEEDUP = 2.0  # docs/index.html:394-404
 
 # Measured machine rooflines (BENCHNOTES.md; floor-corrected, chained).
 HBM_BYTES_PER_S = 0.72e12        # achievable stream (88% of v5e spec)
-VPU_UNPACKED_ELEM_PER_S = 1.58e15  # pair-kernel bit-plane rate
+# Pair-kernel bit-plane rate: 1.58 T unpacked-elem/s (measured 1579 G/s
+# at the mlp decode shape, experiments/pair_kernel_bench.py). Round 3
+# shipped 1.58e15 here (a "G elem/us" unit typo) which reported
+# vpu_frac 0.001; the truth is the T=6 step is VPU-delta-BOUND (~0.69).
+VPU_UNPACKED_ELEM_PER_S = 1.58e12
 
 
 def log(msg):
@@ -562,10 +566,14 @@ def combine(recs, li, ti, backend="tpu"):
     log(f"ours {toks_ours:.1f} tok/s/chip ({ti} full {li}L tenants); "
         f"speedup vs naive bf16 {speedup:.2f}x, vs naive W8 "
         f"{speedup_w8:.2f}x (reference ~{REFERENCE_SPEEDUP}x)")
+    # "FULL Mistral-7B" only when the ladder did not degrade (r03's
+    # artifact said "FULL ... 16L", contradicting itself).
+    scale = ("FULL Mistral-7B 32L" if li == 32
+             else f"Mistral-7B-width {li}L (degraded)")
     out = {
         "metric": "multitenant_1bit_decode_speedup_vs_naive",
         "value": round(speedup, 3),
-        "unit": f"x (T={ti} FULL Mistral-7B {li}L, ours=W8 base+W1 pair "
+        "unit": f"x (T={ti} {scale}, ours=W8 base+W1 pair "
                 f"deltas+1-bit heads vs naive bf16 dense/tenant, "
                 f"{backend})",
         "vs_baseline": round(speedup / REFERENCE_SPEEDUP, 3),
