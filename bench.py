@@ -599,22 +599,27 @@ def main():
         return child_main()
 
     # PARENT: never touches the device (a phase child must find the
-    # pool as free as possible). Rung ladder: shed tenants first (T is
-    # the headline axis), then halve layers with tenants restored.
+    # pool as free as possible). Rung ladder: CAMP on the full north-star
+    # rung first (BENCH_TOP_TRIES attempts with backoff — r03 degraded to
+    # 16L only because the ladder fell through on the first pool-busy
+    # failure), then shed tenants (T is the headline axis), then halve
+    # layers with tenants restored.
     L0, T0 = NUM_LAYERS, TENANTS
-    candidates = [(L0, T0)]
+    top_tries = int(os.environ.get("BENCH_TOP_TRIES", "3"))
+    candidates = [(L0, T0)] * top_tries
     candidates += [(L0, t) for t in (4, 2) if t < T0]
     if L0 >= 16:
         candidates += [(L0 // 2, T0), (L0 // 2, 2), (L0 // 4, T0),
                        (L0 // 4, 2)]
     outer_tries = int(os.environ.get("BENCH_OUTER_TRIES", "2"))
     backoff_s = int(os.environ.get("BENCH_OUTER_BACKOFF_S", "600"))
+    rung_backoff_s = int(os.environ.get("BENCH_RUNG_BACKOFF_S", "240"))
     last_err = "no rung completed"
     for outer in range(outer_tries):
         if outer:
             log(f"outer attempt {outer+1}/{outer_tries} after "
                 f"{backoff_s}s quiet backoff ...")
-        for li, ti in candidates:
+        for ci, (li, ti) in enumerate(candidates):
             log(f"=== rung {li}L/T{ti} ===")
             recs = {}
             failed = None
@@ -628,7 +633,14 @@ def main():
             if failed:
                 last_err = (f"rung {li}L/T{ti} phase {failed[0]} "
                             f"rc={failed[1]}: {failed[2]}")
-                log(f"  {last_err} — degrading")
+                nxt = candidates[ci + 1] if ci + 1 < len(candidates) \
+                    else None
+                retrying = nxt == (li, ti)
+                log(f"  {last_err} — "
+                    + (f"retrying same rung in {rung_backoff_s}s"
+                       if retrying else "degrading"))
+                if retrying:
+                    time.sleep(rung_backoff_s)
                 continue
             out = combine(recs, li, ti,
                           backend=recs["ours"].get("backend", "tpu"))
