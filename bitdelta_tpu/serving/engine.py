@@ -46,6 +46,32 @@ NEG_INF = float("-inf")
 DEVICE_STOPS = 4
 
 
+class _CompileOnce:
+    """Serialize the FIRST call of a jitted engine function — the
+    trace+lower+compile — under an engine-wide lock: concurrent cold
+    calls from admission threads raced JAX's lowering caches (observed
+    KeyError in _lower_jaxpr_to_fun_cached and ValueError in the pallas
+    CPU lowering under ThreadPoolExecutor admissions, even across TWO
+    DIFFERENT programs). Once compiled, calls go straight through:
+    concurrent dispatch of compiled programs is safe (measured working
+    under 24-way concurrent admissions + chunked decode, BENCHNOTES
+    round 3), and a slow cold compile (1-5 min remote compile for a new
+    prefill bucket) must not stall already-warm decode dispatches."""
+
+    def __init__(self, fn, lock: threading.Lock):
+        self._fn = fn
+        self._lock = lock
+        self._done = False
+
+    def __call__(self, *args, **kwargs):
+        if self._done:
+            return self._fn(*args, **kwargs)
+        with self._lock:
+            out = self._fn(*args, **kwargs)
+            self._done = True
+        return out
+
+
 class EngineFullError(RuntimeError):
     """No free slot for an admission. A DISTINCT type so callers'
     retry-on-full loops don't accidentally swallow device/compile
@@ -77,6 +103,22 @@ class SlotState:
     request: Optional[Request] = None
     generated: List[int] = dataclasses.field(default_factory=list)
     prompt_len: int = 0
+    # Bumped at every admission: an in-flight chunk ticket only delivers
+    # tokens to the request it was dispatched for (a slot freed and
+    # re-admitted between dispatch and consume must not leak the old
+    # request's speculated tokens into the new one).
+    epoch: int = 0
+
+
+@dataclasses.dataclass
+class _ChunkTicket:
+    """One dispatched-but-not-yet-consumed chunked-decode device call.
+    ``toks`` is the (k, B) device array of sampled tokens (-1 where a
+    lane was parked); ``active``/``epochs`` snapshot which slot-requests
+    the chunk was dispatched for."""
+    toks: object
+    active: np.ndarray
+    epochs: np.ndarray
 
 
 @dataclasses.dataclass
@@ -219,6 +261,20 @@ class Engine:
         self.top_ks = np.zeros((max_slots,), np.int32)
         self.top_ps = np.ones((max_slots,), np.float32)
         self._last_tokens = np.zeros((max_slots,), np.int32)
+        # Pipelined-decode state: (tokens, live, rem) carried ON DEVICE
+        # between chunk dispatches; _dirty marks lanes whose host state
+        # changed since the last dispatch (admission/finish/cancel) and
+        # therefore override the device carry at the next dispatch.
+        self._dirty = np.ones((max_slots,), bool)
+        self._dev_tokens = None
+        self._dev_live = None
+        self._dev_rem = None
+        self._inflight: List[_ChunkTicket] = []
+        self._step_mutex = threading.Lock()  # serializes dispatch/consume
+        # Shared by every _CompileOnce wrapper in this engine: first
+        # calls (trace+lower+compile) serialize engine-wide, compiled
+        # dispatches go through lock-free (see _CompileOnce).
+        self._compile_lock = threading.Lock()
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._cancelled: set = set()  # rids cancelled mid-prefill
@@ -300,7 +356,8 @@ class Engine:
                          cache.v_scale.at[:, slot].set(rowcache.v_scale[:, 0])))
             return new
 
-        self._insert = jax.jit(insert_fn, donate_argnums=(0,))
+        self._insert = _CompileOnce(
+            jax.jit(insert_fn, donate_argnums=(0,)), self._compile_lock)
 
     def _chunk_jit(self, k: int):
         """Jitted chain of up to ``k`` decode+sample steps with one host
@@ -319,7 +376,22 @@ class Engine:
         whose lanes all finish at step j costs j device steps, not k.
         ``rem`` also carries each lane's max_new_tokens/max_seq budget,
         so one near-cap lane parks itself instead of dragging the whole
-        batch's chunk size down."""
+        batch's chunk size down.
+
+        The per-lane decode state ``(tokens, live, rem)`` is CARRIED ON
+        DEVICE call-to-call and returned, with a per-lane host override
+        (``set_mask`` + ``set_tokens/set_live/set_rem``): lanes the host
+        touched since the previous dispatch (admission, finish, cancel)
+        take the host values, all others continue from the previous
+        chunk's device outputs. That makes chunk N+1 dispatchable
+        BEFORE chunk N's tokens are read back — the host readback
+        (30-140 ms through the relay) overlaps chunk N+1's device
+        compute instead of serializing with it (see _dispatch_chunk).
+
+        Output token rows are -1-sentinel-filled for parked/inactive
+        lanes and past the early exit, so the host consume loop can
+        assert device parking agrees with its own budget/stop
+        bookkeeping instead of silently emitting garbage."""
         if k in self._chunk_fns:
             return self._chunk_fns[k]
         cfg, dtype, kernel = self.cfg, self.compute_dtype, self.kernel
@@ -327,12 +399,15 @@ class Engine:
 
         from .sampling import sample_tokens
 
-        def chunk_fn(params, deltas, cache, tokens, tenant_ids, temps,
-                     top_ks, top_ps, active, stop_ids, rem, vocab_sizes,
-                     rng):
+        def chunk_fn(params, deltas, cache, tokens, live_in, rem_in,
+                     set_mask, set_tokens, set_live, set_rem, tenant_ids,
+                     temps, top_ks, top_ps, stop_ids, vocab_sizes, rng):
             bsz = tokens.shape[0]
-            live0 = active & (rem > 0)
-            toks0 = jnp.zeros((k, bsz), jnp.int32)
+            tokens = jnp.where(set_mask[:, None], set_tokens[:, None],
+                               tokens)
+            rem = jnp.where(set_mask, set_rem, rem_in)
+            live0 = jnp.where(set_mask, set_live, live_in) & (rem > 0)
+            toks0 = jnp.full((k, bsz), -1, jnp.int32)
 
             def cond(carry):
                 i, tokens, cache, live, rem_c, toks = carry
@@ -358,19 +433,22 @@ class Engine:
                 # Parked/inactive lanes don't advance (cache row frozen).
                 cache = cache._replace(
                     length=jnp.where(live, cache.length, old_len))
-                toks = toks.at[i].set(nxt)
+                toks = toks.at[i].set(jnp.where(live, nxt, -1))
                 rem_c = jnp.where(live, rem_c - 1, rem_c)
                 hit_stop = jnp.any(nxt[:, None] == stop_ids, axis=1)
                 live = live & ~hit_stop & (rem_c > 0)
                 tokens = jnp.where(live[:, None], nxt[:, None], tokens)
                 return (i + 1, tokens, cache, live, rem_c, toks)
 
-            _, _, cache, _, _, toks = jax.lax.while_loop(
+            _, tokens, cache, live, rem, toks = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), tokens, cache, live0,
                              rem, toks0))
-            return toks, cache  # toks: (k, B); rows past a stop unused
+            # toks: (k, B), -1 where a lane was parked; the carried
+            # (tokens, live, rem) seed the next chunk device-side.
+            return toks, tokens, live, rem, cache
 
-        fn = jax.jit(chunk_fn, donate_argnums=(2,))
+        fn = _CompileOnce(jax.jit(chunk_fn, donate_argnums=(2, 3, 4, 5)),
+                          self._compile_lock)
         self._chunk_fns[k] = fn
         return fn
 
@@ -445,8 +523,10 @@ class Engine:
 
         kv_kw = {"kv_quant": True} if self.kv_quant else {}
 
+        from .sampling import sample_tokens
+
         def prefill_fn(params, deltas, tokens, length, tenant_id,
-                       vocab_sizes):
+                       vocab_sizes, temp, top_k, top_p, rng):
             if tp_impl is not None:
                 last, rowcache = tp_impl(params, deltas, tokens, length,
                                          tenant_id)
@@ -460,9 +540,14 @@ class Engine:
                 last = logits[0, length[0] - 1].astype(jnp.float32)
             vmask = jnp.arange(last.shape[-1]) < vocab_sizes[tenant_id[0]]
             last = jnp.where(vmask, last, NEG_INF)
-            return last, rowcache
+            # First generated token sampled IN-JIT (temp 0 = greedy):
+            # admission needs no separate eager sampling dispatch, just
+            # one scalar readback of the result.
+            first = sample_tokens(rng, last[None], temp[None],
+                                  top_k[None], top_p[None])[0]
+            return first, last, rowcache
 
-        fn = jax.jit(prefill_fn)
+        fn = _CompileOnce(jax.jit(prefill_fn), self._compile_lock)
         self._prefill_fns[bucket] = fn
         return fn
 
@@ -490,25 +575,30 @@ class Engine:
             tokens[0, 0] = 1
             fn(self.stack.params, self.stack.deltas, jnp.asarray(tokens),
                jnp.asarray([1], jnp.int32), jnp.asarray([0], jnp.int32),
-               self.stack.vocab_sizes)
+               self.stack.vocab_sizes, jnp.float32(0), jnp.int32(0),
+               jnp.float32(1.0), jax.random.PRNGKey(0))
         # step() always uses decode_chunk (per-lane rem budgets park
         # near-cap lanes on device instead of shrinking the chunk), so
         # ONE chunk program serves the engine's whole life; extra
         # ``chunks`` entries are only for callers that plan to rebuild
         # the engine with a different decode_chunk later.
         ks = sorted({*chunks} | {self.decode_chunk})
-        active = np.zeros((self.max_slots,), bool)  # lengths stay parked
+        B = self.max_slots
         for k in ks:
             fn = self._chunk_jit(k)
             with self._lock:
-                toks, self.cache = fn(
+                # set_mask all-True / set_live all-False: every lane
+                # parks instantly (lengths untouched) but the full chunk
+                # program compiles.
+                toks, _t, _l, _r, self.cache = fn(
                     self.stack.params, self.stack.deltas, self.cache,
-                    jnp.zeros((self.max_slots, 1), jnp.int32),
+                    jnp.zeros((B, 1), jnp.int32),
+                    jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
+                    jnp.ones((B,), bool), jnp.zeros((B,), jnp.int32),
+                    jnp.zeros((B,), bool), jnp.zeros((B,), jnp.int32),
                     jnp.asarray(self.tenant_ids),
                     jnp.asarray(self.temps), jnp.asarray(self.top_ks),
-                    jnp.asarray(self.top_ps), jnp.asarray(active),
-                    jnp.asarray(self._stop_ids),
-                    jnp.zeros((self.max_slots,), jnp.int32),
+                    jnp.asarray(self.top_ps), jnp.asarray(self._stop_ids),
                     self.stack.vocab_sizes, jax.random.PRNGKey(0))
                 jax.block_until_ready(toks)
         self.warmed = {"prefill": list(self.prefill_buckets),
@@ -532,10 +622,11 @@ class Engine:
         if request_id is None:
             return False
         with self._lock:
-            for st in self.slots:
+            for i, st in enumerate(self.slots):
                 if (st.active and st.request is not None
                         and st.request.request_id == request_id):
                     st.active = False
+                    self._dirty[i] = True
                     return True
             for st in self.slots:
                 if (st.reserved and st.request is not None
@@ -608,24 +699,18 @@ class Engine:
         tokens = np.zeros((1, bucket), np.int32)
         tokens[0, :len(ids)] = ids
         fn = self._prefill_jit(bucket)
-        last_logits, rowcache = fn(
+        with self._lock:
+            self._rng, sub = jax.random.split(self._rng)
+        first_dev, _last, rowcache = fn(
             self.stack.params, self.stack.deltas, jnp.asarray(tokens),
             jnp.asarray([len(ids)], jnp.int32),
             jnp.asarray([req.tenant_id], jnp.int32),
-            self.stack.vocab_sizes)
-        # First generated token comes from the prefill logits.
-        if req.temperature > 0:
-            from .sampling import sample_tokens
-
-            with self._lock:
-                self._rng, sub = jax.random.split(self._rng)
-            first = int(sample_tokens(
-                sub, last_logits[None].astype(jnp.float32),
-                jnp.asarray([req.temperature], jnp.float32),
-                jnp.asarray([req.top_k], jnp.int32),
-                jnp.asarray([req.top_p], jnp.float32))[0])
-        else:
-            first = int(jnp.argmax(last_logits))
+            self.stack.vocab_sizes,
+            jnp.float32(req.temperature), jnp.int32(req.top_k),
+            jnp.float32(req.top_p), sub)
+        # The only admission host sync: one scalar readback (outside
+        # every lock, so concurrent admissions' readbacks overlap).
+        first = int(first_dev)
         req.first_token = first
         with self._lock:
             if (req.request_id is not None
@@ -635,7 +720,11 @@ class Engine:
                 self.slots[slot].request = None
                 return
             # The insert donates the live cache buffer — must not race a
-            # decode step (which also consumes/donates it).
+            # decode step (which also consumes/donates it). With
+            # pipelined decode the donated input may be an in-flight
+            # chunk's output future: the insert just enqueues behind it
+            # device-side (the slot's lane is parked in that chunk, so
+            # ordering is safe) — no host wait.
             self.cache = self._insert(self.cache, rowcache,
                                       jnp.int32(len(ids)), slot)
             st = self.slots[slot]
@@ -644,6 +733,7 @@ class Engine:
             st.request = req
             st.generated = [first]
             st.prompt_len = len(ids)
+            st.epoch += 1
             self.tenant_ids[slot] = req.tenant_id
             self.temps[slot] = req.temperature
             self.top_ks[slot] = req.top_k
@@ -652,6 +742,7 @@ class Engine:
             ids_dev = list(req.stop_token_ids)[:DEVICE_STOPS]
             self._stop_ids[slot, :len(ids_dev)] = ids_dev
             self._last_tokens[slot] = first
+            self._dirty[slot] = True
 
     def _finish_checks(self, slot: int) -> Optional[str]:
         st = self.slots[slot]
@@ -676,52 +767,94 @@ class Engine:
         return min(st.request.max_new_tokens - gen,
                    (self.max_seq - 1) - st.prompt_len - gen)
 
-    def step(self) -> List[StepEvent]:
-        """One decode call for all active slots: chains
-        ``decode_chunk`` device steps per host sync. Returns per-slot
-        events in generation order (a slot may emit several tokens per
-        call; completion info rides the last one)."""
+    def _dispatch_chunk(self):
+        """Launch ONE chunked-decode device call for the current host
+        state without waiting for it. Returns ``(ticket, pre_events)``:
+        the ticket for :meth:`_consume_chunk` (None when no lane could
+        decode) plus finish-only events for slots that had already hit a
+        stop/limit before decoding. Lanes whose host state is unchanged
+        since the previous dispatch continue from the DEVICE-carried
+        (tokens, live, rem) state, so back-to-back dispatches chain on
+        device with no host round-trip between them."""
         with self._lock:
             active = np.asarray([s.active for s in self.slots], bool)
-            if not active.any():
-                return []
-            # Check slots that already hit a stop/limit from prefill or
-            # the previous step.
-            events: List[StepEvent] = []
+            pre_events: List[StepEvent] = []
             for i in np.nonzero(active)[0]:
                 reason = self._finish_checks(int(i))
                 if reason is not None:
                     st = self.slots[int(i)]
-                    events.append(StepEvent(
+                    pre_events.append(StepEvent(
                         slot=int(i), request_id=st.request.request_id,
                         token=st.generated[-1], finished=True,
                         finish_reason=reason, new_token=False))
                     st.active = False
+                    self._dirty[int(i)] = True
                     active[i] = False
             if not active.any():
-                return events
+                return None, pre_events
 
             self._rng, sub = jax.random.split(self._rng)
-            k = self.decode_chunk
-            fn = self._chunk_jit(k)
-            tokens = jnp.asarray(self._last_tokens[:, None])
-            rem = np.zeros((self.max_slots,), np.int32)
-            for i in np.nonzero(active)[0]:
-                rem[i] = self._slot_budget(int(i))
-            with self.timer.step(tokens=0) as tick:
-                toks, self.cache = fn(
+            fn = self._chunk_jit(self.decode_chunk)
+            first = self._dev_tokens is None
+            set_mask = (np.ones((self.max_slots,), bool) if first
+                        else self._dirty.copy())
+            set_rem = np.zeros((self.max_slots,), np.int32)
+            for i in np.nonzero(active & set_mask)[0]:
+                set_rem[i] = self._slot_budget(int(i))
+            if first:
+                carry_tok = jnp.zeros((self.max_slots, 1), jnp.int32)
+                carry_live = jnp.zeros((self.max_slots,), bool)
+                carry_rem = jnp.zeros((self.max_slots,), jnp.int32)
+            else:
+                carry_tok = self._dev_tokens
+                carry_live = self._dev_live
+                carry_rem = self._dev_rem
+            toks, self._dev_tokens, self._dev_live, self._dev_rem, \
+                self.cache = fn(
                     self.stack.params, self.stack.deltas, self.cache,
-                    tokens, jnp.asarray(self.tenant_ids),
+                    carry_tok, carry_live, carry_rem,
+                    jnp.asarray(set_mask),
+                    jnp.asarray(self._last_tokens),
+                    jnp.asarray(active), jnp.asarray(set_rem),
+                    jnp.asarray(self.tenant_ids),
                     jnp.asarray(self.temps), jnp.asarray(self.top_ks),
-                    jnp.asarray(self.top_ps), jnp.asarray(active),
-                    jnp.asarray(self._stop_ids), jnp.asarray(rem),
+                    jnp.asarray(self.top_ps),
+                    jnp.asarray(self._stop_ids),
                     self.stack.vocab_sizes, sub)
-                toks = np.asarray(toks)  # (k, B) — ONE host sync
-                for i in np.nonzero(active)[0]:
+            self._dirty[:] = False
+            epochs = np.asarray([s.epoch for s in self.slots], np.int64)
+            return _ChunkTicket(toks=toks, active=active,
+                                epochs=epochs), pre_events
+
+    def _consume_chunk(self, ticket: _ChunkTicket) -> List[StepEvent]:
+        """Read back one dispatched chunk's tokens (the only host sync)
+        and apply them to host state. Returns per-slot events in
+        generation order (a slot may emit several tokens; completion
+        info rides the last one)."""
+        with self.timer.step(tokens=0) as tick:
+            toks = np.asarray(ticket.toks)  # (k, B) — ONE host sync,
+            # deliberately OUTSIDE the engine lock: admissions and
+            # cancels proceed while the device chunk drains.
+            events: List[StepEvent] = []
+            with self._lock:
+                for i in np.nonzero(ticket.active)[0]:
                     i = int(i)
                     st = self.slots[i]
+                    if not st.active or st.epoch != ticket.epochs[i]:
+                        continue  # cancelled or re-admitted mid-flight
                     for j in range(toks.shape[0]):
                         tok = int(toks[j, i])
+                        if tok < 0:
+                            # Device parked this lane at step j without
+                            # the host having found a finish reason in
+                            # the consumed tokens: the device budget/
+                            # stop bookkeeping desynced from
+                            # _finish_checks — fail loudly rather than
+                            # emit garbage (see chunk_fn's sentinel).
+                            raise RuntimeError(
+                                f"slot {i}: device parked after {j} "
+                                f"tokens but host found no stop/length "
+                                f"(budget desync)")
                         st.generated.append(tok)
                         self._last_tokens[i] = tok
                         tick.tokens += 1
@@ -732,26 +865,106 @@ class Engine:
                             finish_reason=reason))
                         if reason is not None:
                             st.active = False
+                            self._dirty[i] = True
                             break  # tokens past the stop are discarded
+            return events
+
+    def step(self) -> List[StepEvent]:
+        """One decode call for all active slots: chains
+        ``decode_chunk`` device steps per host sync. Returns per-slot
+        events in generation order (a slot may emit several tokens per
+        call; completion info rides the last one). Any chunks left in
+        flight by :meth:`pump` are drained first."""
+        with self._step_mutex:
+            events: List[StepEvent] = []
+            while self._inflight:
+                events += self._consume_chunk(self._inflight.pop(0))
+            ticket, pre = self._dispatch_chunk()
+            events += pre
+            if ticket is not None:
+                events += self._consume_chunk(ticket)
+            return events
+
+    def pump(self) -> List[StepEvent]:
+        """Pipelined :meth:`step`: dispatch the NEXT chunk before
+        consuming the previous one, so the 30-140 ms host readback
+        overlaps the next chunk's device compute instead of serializing
+        with it (measured: the serial step() loop reached only 34% of
+        the raw chained-step rate, BENCH_r03). Device-side parking makes
+        the speculation safe: a lane that stops mid-chunk is frozen by
+        the device itself, and a chunk dispatched after every lane
+        finished exits its while_loop in zero device steps.
+
+        Call in a loop exactly like step(); the first call typically
+        returns no events (its chunk is still in flight)."""
+        with self._step_mutex:
+            ticket, events = self._dispatch_chunk()
+            if ticket is not None:
+                self._inflight.append(ticket)
+            if self._inflight and (ticket is None
+                                   or len(self._inflight) > 1):
+                events = events + self._consume_chunk(
+                    self._inflight.pop(0))
             return events
 
     def generate(self, requests: Sequence[Request]) -> List[List[int]]:
         """Synchronous batch API: run all requests to completion, with
         continuous admission as slots free up. Returns generated ids per
-        request (stop token excluded)."""
+        request (stop token excluded).
+
+        Admissions overlap: all initially-free slots prefill
+        concurrently (device work serializes, host round-trips overlap),
+        and decode runs through the pipelined :meth:`pump` loop."""
+        from concurrent.futures import ThreadPoolExecutor
+
         pending = list(enumerate(requests))
         outputs: List[Optional[List[int]]] = [None] * len(requests)
         slot_to_req: Dict[int, int] = {}
 
+        def _submit_one(idx_req):
+            idx, req = idx_req
+            try:
+                return idx, self.submit(req), None
+            except EngineFullError:
+                return idx, None, req
+
+        def _prefill_warm(req: Request) -> bool:
+            bucket = next((b for b in self.prefill_buckets
+                           if b >= len(req.prompt_ids)), self.max_seq)
+            fn = self._prefill_fns.get(bucket)
+            return fn is not None and fn._done
+
         def admit_pending():
             while pending and self.free_slots():
-                idx, req = pending.pop(0)
-                slot = self.submit(req)
-                slot_to_req[slot] = idx
+                take = min(len(pending), len(self.free_slots()))
+                batch = [pending.pop(0) for _ in range(take)]
+                # Cold prefill buckets admit INLINE: tracing must happen
+                # on the caller's thread (JAX config contexts — pallas
+                # interpret mode, matmul precision — are thread-local
+                # and do NOT propagate to workers, and concurrent
+                # lowering races JAX's caches). Warm buckets overlap in
+                # threads: dispatch + scalar readbacks only, no tracing.
+                warm = [b for b in batch if _prefill_warm(b[1])]
+                cold = [b for b in batch if not _prefill_warm(b[1])]
+                results = [_submit_one(b) for b in cold]
+                if len(warm) == 1:
+                    results.append(_submit_one(warm[0]))
+                elif warm:
+                    with ThreadPoolExecutor(max_workers=len(warm)) as ex:
+                        results += list(ex.map(_submit_one, warm))
+                raced = False
+                for idx, slot, back in results:
+                    if back is not None:  # lost a slot race — requeue
+                        pending.insert(0, (idx, back))
+                        raced = True
+                    else:
+                        slot_to_req[slot] = idx
+                if raced:
+                    break
 
         admit_pending()
         while slot_to_req:
-            for ev in self.step():
+            for ev in self.pump():
                 if ev.finished:
                     idx = slot_to_req.pop(ev.slot)
                     st = self.slots[ev.slot]

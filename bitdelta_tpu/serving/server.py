@@ -112,11 +112,13 @@ class ServingApp:
 
         while True:
             self._wake.wait()
-            # engine.step() runs OUTSIDE the app lock (the engine has its
-            # own) so admissions — which only need the lock for queue
-            # registration — never wait behind a decode chunk.
+            # engine.pump() (pipelined step: next chunk dispatches
+            # before the previous one's readback) runs OUTSIDE the app
+            # lock (the engine has its own) so admissions — which only
+            # need the lock for queue registration — never wait behind
+            # a decode chunk.
             try:
-                events = self.engine.step()
+                events = self.engine.pump()
             except Exception as exc:  # noqa: BLE001 — must not die:
                 # a dead stepper would wedge every stream on q.get().
                 import logging
