@@ -494,8 +494,215 @@ def phase_naive_w8(cfg, kernel):
     return {"phase": "naive_w8", "t_step": t}
 
 
+# ---------------------------------------------------------------------------
+# Mixtral end-to-end decode phases (VERDICT r3 item 3: the repo's
+# beyond-reference flagship claim — the reference never served Mixtral,
+# bitdelta/misc.py:34-67 only explored its weights in a notebook). Full
+# Mistral width (4096/14336) with a reduced expert count/layer count
+# that fits the 16 GB pooled chip (per-expert and per-layer costs are
+# linear: E streams scale the expert bytes, L scans the layer body).
+# W8 expert+attention base (quantize_mixtral_base_projections layout)
+# + routed pair-packed 1-bit expert deltas — the deploy-density config.
+# ---------------------------------------------------------------------------
+
+MIX_EXPERTS = int(os.environ.get("BENCH_MIX_EXPERTS", "4"))
+MIX_TOPK = 2
+
+
+def build_mix_cfg(num_layers, num_experts):
+    from bitdelta_tpu.models.mixtral import MixtralConfig
+
+    shrink = int(os.environ.get("BENCH_SHRINK", "1"))
+    return MixtralConfig(
+        vocab_size=32000 // shrink // 256 * 256,
+        hidden_size=4096 // shrink,
+        intermediate_size=14336 // shrink // 256 * 256,
+        num_layers=num_layers,
+        num_heads=max(32 // shrink, 1),
+        num_kv_heads=max(8 // shrink, 1),
+        max_seq_len=MAX_SEQ, sliding_window=4096,
+        num_experts=num_experts, experts_per_token=MIX_TOPK)
+
+
+def mix_attn_shapes(cfg):
+    return {
+        "q_proj": (cfg.hidden_size, cfg.q_dim),
+        "k_proj": (cfg.hidden_size, cfg.kv_dim),
+        "v_proj": (cfg.hidden_size, cfg.kv_dim),
+        "o_proj": (cfg.q_dim, cfg.hidden_size),
+    }
+
+
+def build_mix_serve_world(cfg):
+    """Multi-tenant Mixtral stack DIRECTLY in deployment layout: W8
+    attn+expert base, pair-packed attn deltas, (tenant, expert)-stacked
+    pair expert deltas (models/mixtral.py routed decode path), canonical
+    router delta, 1-bit compressed per-tenant embeddings/lm_head."""
+    from bitdelta_tpu.research.quantized_base import Int8Weight
+
+    L, T, E = cfg.num_layers, TENANTS, cfg.num_experts
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    keys = iter(jax.random.split(jax.random.PRNGKey(11), 128))
+
+    layers = {
+        "attn_norm": jnp.ones((L, T, D), jnp.bfloat16),
+        "mlp_norm": jnp.ones((L, T, D), jnp.bfloat16),
+        "router": (jax.random.normal(next(keys), (L, D, E), jnp.bfloat16)
+                   * 0.02),
+    }
+    deltas = {}
+    def pair_or_canonical(key, lead, k, n):
+        if n % 256 == 0:
+            return PairedBinaryDelta(
+                packed_pairs=rand_bits(key, (*lead, k // 16, n // 2)),
+                colsum=jnp.zeros((*lead, n), jnp.float32),
+                scale=jnp.full(lead, 0.01, jnp.float32))
+        return BinaryDelta(  # pair-ineligible (shrink-mode kv_dim)
+            packed=rand_bits(key, (*lead, k // 32, n)),
+            scale=jnp.full(lead, 0.01, jnp.float32))
+
+    for name, (k, n) in mix_attn_shapes(cfg).items():
+        layers[name] = Int8Weight(
+            q=rand_bits(next(keys), (L, k, n), jnp.int8),
+            scale=jnp.full((L, n), 2e-4, jnp.float32))
+        deltas[name] = pair_or_canonical(next(keys), (L, T), k, n)
+    for name, (k, n) in (("w1", (D, I)), ("w3", (D, I)), ("w2", (I, D))):
+        layers[name] = Int8Weight(
+            q=rand_bits(next(keys), (L, E, k, n), jnp.int8),
+            scale=jnp.full((L, E, n), 2e-4, jnp.float32))
+        deltas[name] = pair_or_canonical(next(keys), (L, T, E), k, n)
+    deltas["router"] = BinaryDelta(
+        packed=rand_bits(next(keys), (L, T, D // 32, E)),
+        scale=jnp.full((L, T), 0.01, jnp.float32))
+    params = {
+        "layers": layers,
+        "final_norm": jnp.ones((T, D), jnp.bfloat16),
+        "embed": (jax.random.normal(next(keys), (V, D), jnp.bfloat16)
+                  * 0.02),
+        "lm_head": (jax.random.normal(next(keys), (D, V), jnp.bfloat16)
+                    * 0.02),
+    }
+    deltas["embed"] = BinaryDelta(
+        packed=rand_bits(next(keys), (T, D // 32, V)),
+        scale=jnp.full((T,), 0.01, jnp.float32))
+    deltas["lm_head"] = PairedBinaryDelta(
+        packed_pairs=rand_bits(next(keys), (T, D // 16, V // 2)),
+        colsum=jnp.zeros((T, V), jnp.float32),
+        scale=jnp.full((T,), 0.01, jnp.float32))
+    return params, deltas
+
+
+def phase_mix_ours(cfg_unused, kernel):
+    from bitdelta_tpu.models import mixtral
+
+    cfg = build_mix_cfg(NUM_LAYERS, MIX_EXPERTS)
+    tenant_ids = jnp.arange(TENANTS, dtype=jnp.int32)
+    log(f"[mix_ours] building Mixtral serve world: {cfg.num_layers}L x "
+        f"{cfg.num_experts}E x {TENANTS}T, W8 base + routed W1 deltas ...")
+    params, deltas = build_resilient(
+        lambda: build_mix_serve_world(cfg), "mixtral serve world")
+
+    def step(p, d, tokens, cache):
+        return mixtral.decode_step(cfg, p, tokens, cache, deltas=d,
+                                   tenant_ids=tenant_ids,
+                                   compute_dtype=jnp.bfloat16,
+                                   kernel=kernel)
+
+    log("[mix_ours] compiling + running the chained multi-tenant step ...")
+    run, cache0, tok0 = make_chained(cfg, kernel, step, TENANTS)
+    t, c1 = timed(run, params, deltas, cache0, tok0)
+    log(f"[mix_ours] {t*1e3:.2f} ms/step = {TENANTS/t:.1f} tok/s "
+        f"(first call incl compile {c1:.0f}s)")
+    return {"phase": "mix_ours", "t_step": t}
+
+
+def build_mix_naive_params(cfg, dtype="bf16"):
+    """Single dense Mixtral fine-tune, built expert-slice-by-slice so no
+    f32 temp exceeds one (K, N) matrix (the (L, E, K, N) stacks would
+    OOM as one random op)."""
+    from bitdelta_tpu.research.quantized_base import Int8Weight
+
+    keys = iter(jax.random.split(jax.random.PRNGKey(5), 4096))
+    L, E = cfg.num_layers, cfg.num_experts
+    D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+
+    def slice_(k, n):
+        if dtype == "int8":
+            return rand_bits(next(keys), (k, n), jnp.int8)
+        out = (jax.random.normal(next(keys), (k, n), jnp.float32)
+               * 0.02).astype(jnp.bfloat16)
+        out.block_until_ready()
+        return out
+
+    def stacked(*lead, kn):
+        import itertools
+        k, n = kn
+        flat = []
+        for _ in range(int(np.prod(lead))):
+            flat.append(slice_(k, n))
+        out = jnp.stack(flat).reshape(*lead, k, n)
+        out.block_until_ready()
+        if dtype == "int8":
+            return Int8Weight(q=out, scale=jnp.full((*lead, n), 2e-4,
+                                                    jnp.float32))
+        return out
+
+    layers = {
+        "attn_norm": jnp.ones((L, D), jnp.bfloat16),
+        "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
+        "router": (jax.random.normal(next(keys), (L, D, E), jnp.bfloat16)
+                   * 0.02),
+        "q_proj": stacked(L, kn=(D, cfg.q_dim)),
+        "k_proj": stacked(L, kn=(D, cfg.kv_dim)),
+        "v_proj": stacked(L, kn=(D, cfg.kv_dim)),
+        "o_proj": stacked(L, kn=(cfg.q_dim, D)),
+        "w1": stacked(L, E, kn=(D, I)),
+        "w3": stacked(L, E, kn=(D, I)),
+        "w2": stacked(L, E, kn=(I, D)),
+    }
+    return {
+        "layers": layers,
+        "final_norm": jnp.ones((D,), jnp.bfloat16),
+        "embed": (jax.random.normal(next(keys), (V, D), jnp.bfloat16)
+                  * 0.02),
+        "lm_head": (jax.random.normal(next(keys), (D, V), jnp.bfloat16)
+                    * 0.02),
+    }
+
+
+def _phase_mix_naive(kernel, dtype, label):
+    from bitdelta_tpu.models import mixtral
+
+    cfg = build_mix_cfg(NUM_LAYERS, MIX_EXPERTS)
+    log(f"[{label}] building dense {dtype} Mixtral ...")
+    params = build_resilient(lambda: build_mix_naive_params(cfg, dtype),
+                             f"naive {dtype} mixtral")
+
+    def step(p, _unused, tokens, cache):
+        return mixtral.decode_step(cfg, p, tokens, cache,
+                                   compute_dtype=jnp.bfloat16,
+                                   kernel=kernel)
+
+    log(f"[{label}] compiling + running ...")
+    run, cache0, tok0 = make_chained(cfg, kernel, step, 1)
+    t, _ = timed(run, params, None, cache0, tok0)
+    log(f"[{label}] {t*1e3:.2f} ms/model-step")
+    return {"phase": label, "t_step": t}
+
+
+def phase_mix_naive_bf16(cfg_unused, kernel):
+    return _phase_mix_naive(kernel, "bf16", "mix_naive_bf16")
+
+
+def phase_mix_naive_w8(cfg_unused, kernel):
+    return _phase_mix_naive(kernel, "int8", "mix_naive_w8")
+
+
 PHASES = {"ours": phase_ours, "naive_bf16": phase_naive_bf16,
-          "naive_w8": phase_naive_w8}
+          "naive_w8": phase_naive_w8,
+          "mix_ours": phase_mix_ours,
+          "mix_naive_bf16": phase_mix_naive_bf16,
+          "mix_naive_w8": phase_mix_naive_w8}
 
 
 def child_main():
@@ -537,13 +744,14 @@ def child_main():
     print(json.dumps(out), flush=True)
 
 
-def run_phase(phase, li, ti):
+def run_phase(phase, li, ti, extra_env=None):
     """Launch one phase subprocess; return (rc, parsed record or None).
     Child stderr streams through to ours (live progress)."""
     import subprocess
 
     env = {**os.environ, "BENCH_PHASE": phase,
-           "BENCH_LAYERS": str(li), "BENCH_TENANTS": str(ti)}
+           "BENCH_LAYERS": str(li), "BENCH_TENANTS": str(ti),
+           **(extra_env or {})}
     p = subprocess.run([sys.executable, os.path.abspath(__file__)],
                        env=env, stdout=subprocess.PIPE, text=True)
     rec = None
@@ -592,6 +800,46 @@ def combine(recs, li, ti, backend="tpu"):
         out["engine_vs_raw_chain"] = round(out["engine_tok_s"]
                                            / toks_ours, 3)
     return out
+
+
+def run_mixtral(out):
+    """Mixtral end-to-end decode rows (appended to the headline record;
+    failures degrade down the (L, E, T) ladder and finally record
+    mixtral_error instead of killing the llama result)."""
+    rungs = [(8, 4, 4), (8, 2, 4), (4, 2, 2)]
+    last_err = "no mixtral rung completed"
+    for li, ei, ti in rungs:
+        log(f"=== mixtral rung {li}L/{ei}E/T{ti} ===")
+        env = {"BENCH_MIX_EXPERTS": str(ei)}
+        recs = {}
+        failed = None
+        for phase in ("mix_ours", "mix_naive_bf16", "mix_naive_w8"):
+            rc, rec = run_phase(phase, li, ti, extra_env=env)
+            if rc != 0 or rec is None or "error" in (rec or {}):
+                failed = (phase, rc, (rec or {}).get("error", "no record"))
+                break
+            recs[phase] = rec
+        if failed:
+            last_err = (f"mixtral rung {li}L/{ei}E/T{ti} phase "
+                        f"{failed[0]} rc={failed[1]}: {failed[2]}")
+            log(f"  {last_err} — degrading")
+            continue
+        t = recs["mix_ours"]["t_step"]
+        out["mixtral_speedup_vs_naive_bf16"] = round(
+            recs["mix_naive_bf16"]["t_step"] * ti / t, 3)
+        out["mixtral_speedup_vs_naive_w8"] = round(
+            recs["mix_naive_w8"]["t_step"] * ti / t, 3)
+        out["mixtral_tok_s_per_chip"] = round(ti / t, 1)
+        out["mixtral_ms_per_step"] = round(t * 1e3, 2)
+        out["mixtral_config"] = (f"{li}L x {ei}E(topk{MIX_TOPK}) x T{ti}, "
+                                 f"Mistral width, W8 base + routed pair "
+                                 f"deltas")
+        log(f"mixtral: {out['mixtral_tok_s_per_chip']} tok/s/chip, "
+            f"{out['mixtral_speedup_vs_naive_bf16']}x vs naive bf16, "
+            f"{out['mixtral_speedup_vs_naive_w8']}x vs naive W8 "
+            f"({out['mixtral_config']})")
+        return
+    out["mixtral_error"] = last_err
 
 
 def main():
@@ -648,6 +896,8 @@ def main():
                 out["degraded_from_layers"] = L0
                 out["degraded_from_tenants"] = T0
                 out["num_layers"], out["tenants"] = li, ti
+            if os.environ.get("BENCH_MIX", "1") == "1":
+                run_mixtral(out)
             print(json.dumps(out))
             return
         if outer < outer_tries - 1:

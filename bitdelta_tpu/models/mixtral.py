@@ -69,8 +69,9 @@ def _split_deltas(deltas):
 
 def _delta_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
                   tenant_ids=None):
-    y = jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
-                   preferred_element_type=jnp.float32)
+    from .llama import _base_matmul
+
+    y = _base_matmul(x, w, compute_dtype)
     if delta is not None:
         if tenant_ids is not None:
             yd = tenant_binary_matmul(x, delta.packed, delta.scale,
@@ -197,7 +198,19 @@ def _expert_matmul(x, w, delta: Optional[BinaryDelta], compute_dtype,
         y = jnp.matmul(xt, w_e, preferred_element_type=jnp.float32)
         return y.reshape(e, b, s, n).transpose(1, 2, 0, 3)
 
-    y = contract(w.astype(compute_dtype), batched=False)
+    from ..research.quantized_base import Int8Weight
+
+    if isinstance(w, Int8Weight):
+        # W8 expert base (deploy-density mode, mirrors llama
+        # _base_matmul): int8 stack cast lane-wise into the
+        # contraction, per-output-column scale on the f32 accumulator —
+        # half the expert HBM footprint/traffic, which dominates
+        # Mixtral decode (BENCHNOTES: the dense base expert streams are
+        # the bottleneck once deltas are routed).
+        y = contract(w.q.astype(compute_dtype), batched=False)
+        y = y * w.scale.astype(jnp.float32)  # (B,S,E,N) * (E,N)
+    else:
+        y = contract(w.astype(compute_dtype), batched=False)
     delta = _unpair(delta)
     if delta is not None:
         from ..ops.packing import unpack_to_pm1

@@ -68,6 +68,25 @@ def quantize_base_projections(params):
     return out
 
 
+def quantize_mixtral_base_projections(params, include_router=False):
+    """W8 serving mode for Mixtral: attention projections AND the
+    expert stacks ``w1/w3/w2 (L, E, K, N)`` become :class:`Int8Weight`
+    (quantize_int8 is rank-agnostic: per-output-column scales come out
+    ``(L, E, N)``). The router stays dense by default — it is tiny
+    (D x E) and its logits gate the whole MoE block. Halves the expert
+    HBM footprint/traffic, which dominates Mixtral decode once deltas
+    are routed (BENCHNOTES)."""
+    from ..models.mixtral import ATTN_PROJS, EXPERT_MATS
+
+    names = ATTN_PROJS + EXPERT_MATS + (("router",) if include_router
+                                        else ())
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    for name in names:
+        out["layers"][name] = quantize_int8(params["layers"][name])
+    return out
+
+
 def dequantize_base_projections(params, dtype=None):
     """Inverse of the ``quantize_base_projections*`` functions
     (materializes the rounded dense weights — what deltas must be taken

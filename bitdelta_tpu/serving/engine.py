@@ -569,14 +569,25 @@ class Engine:
         with self._lock:
             if any(s.active or s.reserved for s in self.slots):
                 raise RuntimeError("warmup requires an idle engine")
+        rowcache = None
         for bucket in self.prefill_buckets:
             fn = self._prefill_jit(bucket)
             tokens = np.zeros((1, bucket), np.int32)
             tokens[0, 0] = 1
-            fn(self.stack.params, self.stack.deltas, jnp.asarray(tokens),
-               jnp.asarray([1], jnp.int32), jnp.asarray([0], jnp.int32),
-               self.stack.vocab_sizes, jnp.float32(0), jnp.int32(0),
-               jnp.float32(1.0), jax.random.PRNGKey(0))
+            _f, _l, rowcache = fn(
+                self.stack.params, self.stack.deltas, jnp.asarray(tokens),
+                jnp.asarray([1], jnp.int32), jnp.asarray([0], jnp.int32),
+                self.stack.vocab_sizes, jnp.float32(0), jnp.int32(0),
+                jnp.float32(1.0), jax.random.PRNGKey(0))
+        if rowcache is not None:
+            # Warm the admission-side cache insert too (row_len 0 = the
+            # inserted garbage row stays dead): it compiled lazily on
+            # the FIRST live admission before — measured 2.26 s on a
+            # warmed 8L engine (experiments/engine_bisect.py), paid
+            # inside a user-visible submit().
+            with self._lock:
+                self.cache = self._insert(self.cache, rowcache,
+                                          jnp.int32(0), 0)
         # step() always uses decode_chunk (per-lane rem budgets park
         # near-cap lanes on device instead of shrinking the chunk), so
         # ONE chunk program serves the engine's whole life; extra

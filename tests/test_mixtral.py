@@ -542,3 +542,39 @@ def test_mixtral_tp_pallas_shardmap_matches_single_device():
         got = eng.generate(reqs)
     assert got == want
     assert want[0] != want[1]
+
+
+def test_mixtral_w8_base_serving_matches_dequantized_dense():
+    """W8 Mixtral serving (int8 attention + EXPERT stacks, dense
+    router): an Engine over quantize_mixtral_base_projections
+    greedy-matches the same model with the dequantized dense base —
+    the deploy-density Mixtral mode (the reference never quantized or
+    served Mixtral; bitdelta/misc.py:34-67 only explored its weights)."""
+    from bitdelta_tpu.research.quantized_base import (
+        Int8Weight, dequantize_base_projections,
+        quantize_mixtral_base_projections)
+    from bitdelta_tpu.serving.engine import Engine, Request
+    from bitdelta_tpu.serving.stacking import stack_tenants
+
+    cfg, dense = _tp_world()
+    qbase = quantize_mixtral_base_projections(dense)
+    assert isinstance(qbase["layers"]["w1"], Int8Weight)
+    assert qbase["layers"]["w1"].scale.shape == (
+        cfg.num_layers, cfg.num_experts, cfg.intermediate_size)
+    deq = dequantize_base_projections(qbase, jnp.float32)
+
+    # Deltas against the dequantized base — the W8+W1 recipe.
+    tenants = [mx.compress_mixtral(deq, _finetune(deq, 900 + t))
+               for t in range(2)]
+
+    outs = {}
+    for name, b in (("dense", deq), ("int8", qbase)):
+        stack = stack_tenants(cfg, b, tenants)
+        eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla", model=mx,
+                     compute_dtype=jnp.float32)
+        outs[name] = eng.generate(
+            [Request(prompt_ids=[3, 9, 4], tenant_id=t, max_new_tokens=6)
+             for t in range(2)])
+    assert outs["dense"] == outs["int8"]
+    assert outs["dense"][0] != outs["dense"][1]
