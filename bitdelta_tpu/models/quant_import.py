@@ -33,6 +33,7 @@ import numpy as np
 from .config import ModelConfig
 
 _SYM_NIBBLES = np.uint32(0x77777777)   # zero-point nibble 7 => zero == 8
+_SYM_NIBBLES_V2 = np.uint32(0x88888888)  # gptq_v2 stores zeros UNSHIFTED
 _SIGN_FLIP = np.uint32(0x88888888)     # unsigned nibble -> two's-complement
 
 
@@ -52,18 +53,32 @@ def unpack_gptq_nibbles(packed: np.ndarray, axis: int = 0) -> np.ndarray:
 
 def dequantize_gptq(qweight: np.ndarray, qzeros: np.ndarray,
                     scales: np.ndarray,
-                    g_idx: Optional[np.ndarray] = None) -> np.ndarray:
+                    g_idx: Optional[np.ndarray] = None,
+                    checkpoint_format: str = "gptq") -> np.ndarray:
     """Dense fp32 ``(K, N)`` from GPTQ arrays (reference semantics:
     ``(q - (z + 1)) * scale``, misc.py:77-106).
 
     qweight ``(K//8, N)`` int32; qzeros ``(G, N//8)`` int32; scales
     ``(G, N)``; g_idx ``(K,)`` optional group index per input row
     (act-order checkpoints) — defaults to contiguous groups.
+
+    ``checkpoint_format``: ``"gptq"`` (legacy, zeros stored SHIFTED by
+    -1 — the reference's only case) or ``"gptq_v2"`` (gptqmodel, zeros
+    stored unshifted: no +1). Silently applying the legacy +1 to a v2
+    checkpoint would dequantize every weight off by one scale step.
     """
+    if checkpoint_format not in ("gptq", "gptq_v2"):
+        raise ValueError(f"unknown checkpoint_format {checkpoint_format!r}")
     q = unpack_gptq_nibbles(qweight, axis=0)            # (K, N)
-    z = unpack_gptq_nibbles(qzeros, axis=1) + 1         # (G, N)
+    z = unpack_gptq_nibbles(qzeros, axis=1)             # (G, N)
+    if checkpoint_format == "gptq":
+        z = z + 1                                       # legacy offset
     k = q.shape[0]
     if g_idx is None:
+        if k % scales.shape[0]:
+            raise ValueError(
+                f"K={k} does not divide into {scales.shape[0]} groups; "
+                f"an act-order checkpoint must supply g_idx explicitly")
         g_idx = np.arange(k) // (k // scales.shape[0])
     g_idx = np.asarray(g_idx, np.int64)
     s = scales.astype(np.float32)[g_idx]                # (K, N)
@@ -72,31 +87,35 @@ def dequantize_gptq(qweight: np.ndarray, qzeros: np.ndarray,
 
 def gptq_is_symmetric(qzeros: np.ndarray,
                       g_idx: Optional[np.ndarray] = None,
-                      k: Optional[int] = None) -> bool:
+                      k: Optional[int] = None,
+                      checkpoint_format: str = "gptq") -> bool:
     """True when the checkpoint maps losslessly onto :class:`Int4Weight`:
-    every zero point is 8 (nibble 7 — the sym-quantization convention)
-    and group assignment is the trivial contiguous one."""
-    if not np.all(np.ascontiguousarray(qzeros).view(np.uint32)
-                  == _SYM_NIBBLES):
+    every zero point is 8 (stored as nibble 7 in the legacy shifted
+    format, nibble 8 in gptq_v2) and group assignment is the trivial
+    contiguous one."""
+    want = _SYM_NIBBLES if checkpoint_format == "gptq" else _SYM_NIBBLES_V2
+    if not np.all(np.ascontiguousarray(qzeros).view(np.uint32) == want):
         return False
     if g_idx is not None and k is not None:
         groups = qzeros.shape[0]
-        if not np.array_equal(np.asarray(g_idx),
-                              np.arange(k) // (k // groups)):
+        if k % groups or not np.array_equal(
+                np.asarray(g_idx), np.arange(k) // (k // groups)):
             return False
     return True
 
 
 def int4_from_gptq(qweight: np.ndarray, qzeros: np.ndarray,
                    scales: np.ndarray,
-                   g_idx: Optional[np.ndarray] = None):
+                   g_idx: Optional[np.ndarray] = None,
+                   checkpoint_format: str = "gptq"):
     """Lossless ``Int4Weight`` from a SYMMETRIC GPTQ layer: the nibble
     words are ours up to the unsigned->two's-complement XOR; scales pass
     through (any group size dividing K works — ``int4_matmul`` derives
     the group from the scale shape)."""
     from ..research.quantized_base import Int4Weight
 
-    if not gptq_is_symmetric(qzeros, g_idx, qweight.shape[0] * 8):
+    if not gptq_is_symmetric(qzeros, g_idx, qweight.shape[0] * 8,
+                             checkpoint_format):
         raise ValueError(
             "asymmetric or act-order GPTQ layer: no lossless Int4Weight "
             "mapping — use dequantize_gptq (dense), as the reference "
@@ -149,6 +168,21 @@ def load_gptq_params(ckpt_dir: str, cfg: Optional[ModelConfig] = None,
     tensors = dict(_iter_safetensors(ckpt_dir))
     L = cfg.num_layers
 
+    # gptqmodel writes checkpoint_format="gptq_v2" (zeros UNSHIFTED);
+    # the legacy AutoGPTQ format (the reference's only case) shifts
+    # them by -1. Read quantize_config.json so a v2 checkpoint doesn't
+    # silently dequantize off by one scale step (ADVICE r3).
+    fmt = "gptq"
+    import json as _json
+    import os as _os
+    qc_path = _os.path.join(ckpt_dir, "quantize_config.json")
+    if _os.path.exists(qc_path):
+        with open(qc_path) as f:
+            fmt = _json.load(f).get("checkpoint_format", "gptq")
+    if fmt not in ("gptq", "gptq_v2"):
+        raise ValueError(f"unsupported GPTQ checkpoint_format {fmt!r} "
+                         f"in {qc_path}")
+
     params: Dict[str, object] = {
         "embed": jnp.asarray(tensors["model.embed_tokens.weight"], dtype),
         "final_norm": jnp.asarray(tensors["model.norm.weight"], dtype),
@@ -177,16 +211,16 @@ def load_gptq_params(ckpt_dir: str, cfg: Optional[ModelConfig] = None,
               if f"model.layers.{i}.{sub}.g_idx" in tensors else None
               for i in range(L)]
         sym = native and all(
-            gptq_is_symmetric(z, g, w.shape[0] * 8)
+            gptq_is_symmetric(z, g, w.shape[0] * 8, fmt)
             for w, z, g in zip(qw, qz, gi))
         if sym:
-            per = [int4_from_gptq(w, z, s, g)
+            per = [int4_from_gptq(w, z, s, g, fmt)
                    for w, z, s, g in zip(qw, qz, sc, gi)]
             layers[ours] = Int4Weight(
                 packed=jnp.stack([p.packed for p in per]),
                 scale=jnp.stack([p.scale for p in per]))
         else:
             layers[ours] = jnp.stack([
-                jnp.asarray(dequantize_gptq(w, z, s, g), dtype)
+                jnp.asarray(dequantize_gptq(w, z, s, g, fmt), dtype)
                 for w, z, s, g in zip(qw, qz, sc, gi)])
     return cfg, params

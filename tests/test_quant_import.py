@@ -27,15 +27,16 @@ def _pack_gptq(q: np.ndarray) -> np.ndarray:
         .view(np.int32)
 
 
-def _pack_gptq_zeros(z: np.ndarray) -> np.ndarray:
-    """(G, N) zero nibbles (stored value = zero - 1) -> (G, N//8)."""
+def _pack_gptq_zeros(z: np.ndarray, shift: bool = True) -> np.ndarray:
+    """(G, N) zero nibbles -> (G, N//8). Legacy format stores
+    ``zero - 1`` (shift=True); gptq_v2 stores the zero unshifted."""
     g, n = z.shape
-    u = (z.astype(np.uint32) - 1).reshape(g, n // 8, 8)
+    u = (z.astype(np.uint32) - (1 if shift else 0)).reshape(g, n // 8, 8)
     shifts = np.arange(8, dtype=np.uint32) * 4
     return np.bitwise_or.reduce(u << shifts, axis=2).view(np.int32)
 
 
-def _random_gptq_layer(rng, k, n, group, sym):
+def _random_gptq_layer(rng, k, n, group, sym, fmt="gptq"):
     q = rng.integers(0, 16, (k, n)).astype(np.int32)
     g = k // group
     if sym:
@@ -45,7 +46,8 @@ def _random_gptq_layer(rng, k, n, group, sym):
     scales = (0.01 + 0.1 * rng.random((g, n))).astype(np.float16)
     dense = ((q - zeros[np.arange(k) // group]).astype(np.float32)
              * scales.astype(np.float32)[np.arange(k) // group])
-    return (_pack_gptq(q), _pack_gptq_zeros(zeros), scales, dense)
+    return (_pack_gptq(q), _pack_gptq_zeros(zeros, shift=fmt == "gptq"),
+            scales, dense)
 
 
 def test_unpack_matches_reference_loop():
@@ -122,8 +124,11 @@ def test_int8_from_bnb_matches_reference_formula():
                                rtol=1e-6)
 
 
-def _write_gptq_checkpoint(root, cfg, sym=True, group=16, seed=0):
-    """Fabricate an AutoGPTQ-layout llama checkpoint on disk."""
+def _write_gptq_checkpoint(root, cfg, sym=True, group=16, seed=0,
+                           fmt="gptq"):
+    """Fabricate an AutoGPTQ-layout llama checkpoint on disk
+    (``fmt="gptq_v2"``: zeros stored unshifted + quantize_config.json
+    declaring checkpoint_format, the gptqmodel convention)."""
     from safetensors.numpy import save_file
 
     rng = np.random.default_rng(seed)
@@ -147,13 +152,18 @@ def _write_gptq_checkpoint(root, cfg, sym=True, group=16, seed=0):
         tensors[pre + "post_attention_layernorm.weight"] = \
             np.ones((D,), np.float32)
         for sub, (k, n) in shapes.items():
-            qw, qz, sc, dw = _random_gptq_layer(rng, k, n, group, sym)
+            qw, qz, sc, dw = _random_gptq_layer(rng, k, n, group, sym,
+                                                fmt)
             tensors[pre + sub + ".qweight"] = qw
             tensors[pre + sub + ".qzeros"] = qz
             tensors[pre + sub + ".scales"] = sc
             dense[(l, sub)] = dw
     os.makedirs(root, exist_ok=True)
     save_file(tensors, os.path.join(root, "model.safetensors"))
+    if fmt != "gptq":
+        with open(os.path.join(root, "quantize_config.json"), "w") as f:
+            json.dump({"bits": 4, "group_size": group,
+                       "checkpoint_format": fmt}, f)
     hf_cfg = {"vocab_size": V, "hidden_size": D, "intermediate_size": I,
               "num_hidden_layers": cfg.num_layers,
               "num_attention_heads": cfg.num_heads,
@@ -222,3 +232,54 @@ def test_load_gptq_checkpoint_asymmetric_falls_back_dense(tmp_path):
     np.testing.assert_allclose(np.asarray(w[0]),
                                dense[(0, "mlp.down_proj")],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_dequantize_gptq_v2_unshifted_zeros():
+    """gptq_v2 stores zeros WITHOUT the legacy +1 shift: dequantizing a
+    v2 layer with the right format matches the dense formula, while the
+    legacy formula would be off by exactly one scale step (ADVICE r3:
+    this used to happen silently)."""
+    rng = np.random.default_rng(7)
+    k, n, group = 64, 16, 16
+    for sym in (True, False):
+        qw, qz, sc, dense = _random_gptq_layer(rng, k, n, group, sym,
+                                               fmt="gptq_v2")
+        got = dequantize_gptq(qw, qz, sc, checkpoint_format="gptq_v2")
+        np.testing.assert_allclose(got, dense, rtol=1e-6, atol=1e-6)
+        assert gptq_is_symmetric(qz, checkpoint_format="gptq_v2") == sym
+        # The legacy interpretation is off by one scale step everywhere.
+        wrong = dequantize_gptq(qw, qz, sc)
+        s = sc.astype(np.float32)[np.arange(k) // group]
+        np.testing.assert_allclose(wrong, dense - s, rtol=1e-5, atol=1e-5)
+
+
+def test_dequantize_gptq_rejects_indivisible_groups():
+    import pytest
+
+    rng = np.random.default_rng(8)
+    qw, qz, sc, _ = _random_gptq_layer(rng, 64, 16, 16, True)
+    with pytest.raises(ValueError, match="groups"):
+        dequantize_gptq(qw, qz, sc[:3])  # 64 rows, 3 groups
+
+
+def test_load_gptq_v2_checkpoint_roundtrip(tmp_path):
+    """A gptq_v2 checkpoint (quantize_config.json checkpoint_format)
+    loads natively and its dequantized weights equal the fabricated
+    dense values — proving the zero-point convention was honored."""
+    from bitdelta_tpu.models import config as cfgs, llama as jl
+    from bitdelta_tpu.research.quantized_base import (
+        Int4Weight, dequantize_base_projections)
+
+    cfg0 = cfgs.tiny_test_config(vocab_size=64, hidden_size=32,
+                                 intermediate_size=64, num_layers=1,
+                                 num_heads=2, num_kv_heads=2,
+                                 dtype="float32")
+    dense = _write_gptq_checkpoint(tmp_path / "v2", cfg0, sym=True,
+                                   group=16, fmt="gptq_v2")
+    cfg, params = load_gptq_params(str(tmp_path / "v2"),
+                                   dtype=jnp.float32)
+    assert isinstance(params["layers"]["gate_proj"], Int4Weight)
+    deq = dequantize_base_projections(params, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(deq["layers"]["gate_proj"][0]),
+        dense[(0, "mlp.gate_proj")], rtol=1e-6, atol=1e-6)
