@@ -698,11 +698,23 @@ def phase_mix_naive_w8(cfg_unused, kernel):
     return _phase_mix_naive(kernel, "int8", "mix_naive_w8")
 
 
+def phase_compiled_check(cfg_unused, kernel_unused):
+    """Pre-phase: compile + numerics-check every serving Pallas kernel
+    through the engine (VERDICT r3 item 5 — this used to live only in a
+    manually-run experiment; now its pass/fail lands in the artifact
+    every round). ~100 MB world, safe even on a crowded pooled chip."""
+    from bitdelta_tpu.utils.compiled_check import serving_compiled_check
+
+    return {"phase": "compiled_check",
+            **serving_compiled_check(log=log)}
+
+
 PHASES = {"ours": phase_ours, "naive_bf16": phase_naive_bf16,
           "naive_w8": phase_naive_w8,
           "mix_ours": phase_mix_ours,
           "mix_naive_bf16": phase_mix_naive_bf16,
-          "mix_naive_w8": phase_mix_naive_w8}
+          "mix_naive_w8": phase_mix_naive_w8,
+          "compiled_check": phase_compiled_check}
 
 
 def child_main():
@@ -862,6 +874,15 @@ def main():
     outer_tries = int(os.environ.get("BENCH_OUTER_TRIES", "2"))
     backoff_s = int(os.environ.get("BENCH_OUTER_BACKOFF_S", "600"))
     rung_backoff_s = int(os.environ.get("BENCH_RUNG_BACKOFF_S", "240"))
+    compiled_check = "not run"
+    if os.environ.get("BENCH_COMPILED_CHECK", "1") == "1":
+        log("=== compiled_check pre-phase ===")
+        rc, rec = run_phase("compiled_check", L0, T0)
+        compiled_check = ("ok" if rc == 0 and rec
+                          and rec.get("status") == "ok"
+                          else f"FAILED rc={rc}: "
+                               f"{(rec or {}).get('error', 'no record')}")
+        log(f"  compiled_check: {compiled_check}")
     last_err = "no rung completed"
     for outer in range(outer_tries):
         if outer:
@@ -896,6 +917,7 @@ def main():
                 out["degraded_from_layers"] = L0
                 out["degraded_from_tenants"] = T0
                 out["num_layers"], out["tenants"] = li, ti
+            out["compiled_check"] = compiled_check
             if os.environ.get("BENCH_MIX", "1") == "1":
                 run_mixtral(out)
             print(json.dumps(out))
