@@ -814,6 +814,25 @@ def combine(recs, li, ti, backend="tpu"):
     return out
 
 
+def _recheck_w8(recs, w8_key, bf16_key, rerun):
+    """An int8 model-step can't honestly be slower than the same bf16
+    step (half the weight bytes at the same roofline) — when it
+    measures >1.5x the bf16 time, a pool competitor was hammering HBM
+    during that phase (observed: 85.5 ms vs a clean re-run's 4.78 ms).
+    Re-run the phase once and keep the faster result."""
+    if recs[w8_key]["t_step"] <= 1.5 * recs[bf16_key]["t_step"]:
+        return recs
+    log(f"  {w8_key} implausibly slow "
+        f"({recs[w8_key]['t_step']*1e3:.1f} ms vs bf16 "
+        f"{recs[bf16_key]['t_step']*1e3:.1f} ms) — pool interference? "
+        f"re-running once")
+    rc, rec = rerun()
+    if rc == 0 and rec and "error" not in rec \
+            and rec["t_step"] < recs[w8_key]["t_step"]:
+        recs = {**recs, w8_key: rec}
+    return recs
+
+
 def run_mixtral(out):
     """Mixtral end-to-end decode rows (appended to the headline record;
     failures degrade down the (L, E, T) ladder and finally record
@@ -836,6 +855,9 @@ def run_mixtral(out):
                         f"{failed[0]} rc={failed[1]}: {failed[2]}")
             log(f"  {last_err} — degrading")
             continue
+        recs = _recheck_w8(recs, "mix_naive_w8", "mix_naive_bf16",
+                           lambda: run_phase("mix_naive_w8", li, ti,
+                                             extra_env=env))
         t = recs["mix_ours"]["t_step"]
         out["mixtral_speedup_vs_naive_bf16"] = round(
             recs["mix_naive_bf16"]["t_step"] * ti / t, 3)
@@ -899,6 +921,10 @@ def main():
                               (rec or {}).get("error", "no record"))
                     break
                 recs[phase] = rec
+            if not failed:
+                recs = _recheck_w8(
+                    recs, "naive_w8", "naive_bf16",
+                    lambda li=li, ti=ti: run_phase("naive_w8", li, ti))
             if failed:
                 last_err = (f"rung {li}L/T{ti} phase {failed[0]} "
                             f"rc={failed[1]}: {failed[2]}")

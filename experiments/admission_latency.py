@@ -75,8 +75,12 @@ def main():
     tokens_done = [0]
 
     def stepper():
+        # pump(): the pipelined serving loop (what server.py runs since
+        # round 4) — the next chunk dispatches before the previous one's
+        # readback, and admissions' inserts enqueue behind in-flight
+        # chunks instead of waiting out the engine lock.
         while not stop.is_set():
-            evs = eng.step()
+            evs = eng.pump()
             tokens_done[0] += sum(1 for e in evs if e.new_token)
             if not evs:
                 time.sleep(0.001)
