@@ -25,7 +25,12 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--split", type=str, default="train")
     p.add_argument("--text_file", type=str, default=None,
                    help="offline calibration text file")
-    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr", type=float, default=1e-4,
+                   help="scale-distillation AdamW lr (reference recipe "
+                        "1e-4). If the imported checkpoint's scales are "
+                        "suspected miscalibrated, 3e-4 recovers ~2x "
+                        "faster; past 3e-4 batch noise dominates — add "
+                        "steps/batch instead (BENCHNOTES lr sweep)")
     p.add_argument("--num_steps", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--max_length", type=int, default=128)

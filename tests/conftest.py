@@ -32,6 +32,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 #   pytest tests/ -q --durations=0 2>/dev/null \
 #     | awk '$2=="call" && $1+0>=6 {split($3,a,"["); print a[1]}' | sort -u
 _SLOW = {
+    "tests/test_cli.py::test_serve_cli_mesh_smoke",
+    "tests/test_flash_decode.py::test_decode_step_pallas_int8_kv_matches_xla_int8_kv",
+    "tests/test_mixtral.py::test_mixtral_routed_single_tenant_decode",
+    "tests/test_mixtral.py::test_mixtral_w8_base_serving_matches_dequantized_dense",
+    "tests/test_model.py::test_decode_matches_full_forward",
+    "tests/test_research.py::test_fuse_variant_model_mixtral_layout",
+    "tests/test_research.py::test_w4_plus_w1_ppl_beats_w4_alone",
+    "tests/test_serving.py::test_chunked_decode_near_cache_cap",
+    "tests/test_serving.py::test_engine_int8_kv_cache_generates_like_bf16",
+    "tests/test_serving.py::test_temperature_sampling_reproducible_seed",
+    "tests/test_serving_mesh.py::test_mesh_engine_weights_partitioned",
     "tests/test_cli.py::test_mixtral_train_serve_eval_pipeline",
     "tests/test_cli.py::test_train_cli_end_to_end",
     "tests/test_cli.py::test_train_serve_eval_with_compressed_embeddings",
