@@ -126,9 +126,36 @@ def body_pair_nobc(p, xq, acc):
     return acc
 
 
+def body_pair_mul2(p, xq, acc):
+    # pair formulation with TWO independent accumulator chains: breaks
+    # the loop-carried add dependency (the plane loop's adds serialize
+    # on `inner` — suspected issue-rate limiter behind the measured
+    # 2.6 effective ops/elem vs the 2.0 op-count floor). Each chain
+    # accumulates 8 planes <= 8*4095 < 2^15; the final combine stays
+    # < 2^16 per half, so the modular split is still exact.
+    a0 = jnp.zeros_like(acc)
+    a1 = jnp.zeros_like(acc)
+    for s in range(0, 16, 2):
+        a0 += ((p >> s) & 0x00010001) * xq[:, s][:, None]
+        a1 += ((p >> (s + 1)) & 0x00010001) * xq[:, s + 1][:, None]
+    return acc + a0 + a1
+
+
+def body_pair_mul4(p, xq, acc):
+    # four chains (register-pressure risk: grouped-row probe showed two
+    # live (W, BN) accumulators already hurt in a DIFFERENT shape)
+    chains = [jnp.zeros_like(acc) for _ in range(4)]
+    for s in range(16):
+        chains[s % 4] = chains[s % 4] + (
+            ((p >> s) & 0x00010001) * xq[:, s][:, None])
+    return acc + ((chains[0] + chains[1]) + (chains[2] + chains[3]))
+
+
 VARIANTS = {
     "i32_mul": (body_i32_mul, jnp.int32, jnp.int32, 32),
     "pair_mul": (body_pair_mul, jnp.int32, jnp.int32, 32),
+    "pair_mul2": (body_pair_mul2, jnp.int32, jnp.int32, 32),
+    "pair_mul4": (body_pair_mul4, jnp.int32, jnp.int32, 32),
     "pair_split": (body_pair_split, jnp.int32, jnp.int32, 32),
     "pair_nobc": (body_pair_nobc, jnp.int32, jnp.int32, 32),
     "pair_fullx": (body_pair_fullx, jnp.int32, jnp.int32, 32),
