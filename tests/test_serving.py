@@ -402,3 +402,44 @@ def test_device_stop_overflow_still_stops():
                                      stop_token_ids=stops)])[0]
 
     assert run(16) == run(1) == free[:2]
+
+
+def test_pump_matches_step_with_midstream_admission():
+    """Pipelined pump() (chunk N+1 dispatched before chunk N's readback)
+    must produce exactly the tokens the eager step() loop produces —
+    including when a new request is admitted WHILE a speculative chunk
+    is in flight (the admitted lane must stay parked in that chunk and
+    join the next one)."""
+    cfg, base, tenants, stack = _make_world()
+
+    def drive(pipelined):
+        eng = Engine(cfg, stack, max_slots=3, max_seq=64,
+                     prefill_buckets=(16,), kernel="xla", decode_chunk=4)
+        s0 = eng.submit(Request(prompt_ids=[3, 5, 7], tenant_id=0,
+                                max_new_tokens=12))
+        s1 = eng.submit(Request(prompt_ids=[2, 4, 6, 8], tenant_id=1,
+                                max_new_tokens=10))
+        gens = {}
+        admitted_late = False
+        step = eng.pump if pipelined else eng.step
+        while any(s.active for s in eng.slots) or not admitted_late:
+            evs = step()
+            done = {e.slot for e in evs if e.finished}
+            # admit a third request mid-stream, after the first chunk of
+            # events lands (for pump, a speculative chunk is in flight)
+            if not admitted_late and any(
+                    len(s.generated) >= 5 for s in eng.slots if s.active):
+                s2 = eng.submit(Request(prompt_ids=[9, 9, 1], tenant_id=2,
+                                        max_new_tokens=6))
+                admitted_late = True
+            for slot in done:
+                st = eng.slots[slot]
+                gens[(st.request.tenant_id,
+                      tuple(st.request.prompt_ids))] = list(st.generated)
+        return gens
+
+    want = drive(pipelined=False)
+    got = drive(pipelined=True)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
