@@ -262,7 +262,7 @@ def make_chained(cfg, kernel, step_fn, batch):
     return run, cache0, tokens0
 
 
-def bench_engine(cfg, params, deltas, kernel):
+def bench_engine(cfg, params, deltas, kernel, model=None):
     """Engine-level tok/s: Engine.generate() through chunked decode —
     includes admission/prefill, sampling, host syncs, event fan-out."""
     from bitdelta_tpu.serving.engine import Engine, Request
@@ -273,7 +273,7 @@ def bench_engine(cfg, params, deltas, kernel):
                                              jnp.int32),
                         num_tenants=TENANTS)
     eng = Engine(cfg, stack, max_slots=TENANTS, max_seq=MAX_SEQ,
-                 prefill_buckets=(64,), kernel=kernel,
+                 prefill_buckets=(64,), kernel=kernel, model=model,
                  compute_dtype=jnp.bfloat16, decode_chunk=ENGINE_CHUNK)
     log("engine warmup (prefill bucket + decode chunk compiles) ...")
     t0 = time.time()
@@ -613,7 +613,11 @@ def phase_mix_ours(cfg_unused, kernel):
     t, c1 = timed(run, params, deltas, cache0, tok0)
     log(f"[mix_ours] {t*1e3:.2f} ms/step = {TENANTS/t:.1f} tok/s "
         f"(first call incl compile {c1:.0f}s)")
-    return {"phase": "mix_ours", "t_step": t}
+    out = {"phase": "mix_ours", "t_step": t}
+    if os.environ.get("BENCH_MIX_ENGINE", "0") == "1":
+        out["engine_tok_s"] = bench_engine(cfg, params, deltas, kernel,
+                                           model=mixtral)
+    return out
 
 
 def build_mix_naive_params(cfg, dtype="bf16"):
@@ -865,6 +869,9 @@ def run_mixtral(out):
             recs["mix_naive_w8"]["t_step"] * ti / t, 3)
         out["mixtral_tok_s_per_chip"] = round(ti / t, 1)
         out["mixtral_ms_per_step"] = round(t * 1e3, 2)
+        if "engine_tok_s" in recs["mix_ours"]:
+            out["mixtral_engine_tok_s"] = round(
+                recs["mix_ours"]["engine_tok_s"], 1)
         out["mixtral_config"] = (f"{li}L x {ei}E(topk{MIX_TOPK}) x T{ti}, "
                                  f"Mistral width, W8 base + routed pair "
                                  f"deltas")
