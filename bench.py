@@ -243,12 +243,21 @@ def accounting(cfg, t_ours):
 
 
 def make_chained(cfg, kernel, step_fn, batch):
-    cache0 = llama.init_cache(cfg, batch, MAX_SEQ, jnp.bfloat16)
-    cache0 = cache0._replace(length=jnp.full((batch,), 32, jnp.int32))
+    """Chained decode steps with the KV cache built INSIDE the jit: a
+    cache passed as a (non-donated) argument must be preserved by XLA
+    while the scan carries an updated copy — two live 1.6 GB buffers at
+    the 32L/T6 world, which pushed the phase to ~16.2 GB and OOMed the
+    north-star rung even on an EMPTY chip. In-jit init keeps exactly
+    one cache buffer (the scan carry, updated in place) and adds only a
+    ~2 ms zeros-write per call (<0.4% of a 32-step total, and it makes
+    "ours" marginally slower, never faster)."""
     tokens0 = jnp.ones((batch, 1), jnp.int32)
 
     @jax.jit
-    def run(params, deltas_or_none, cache, tokens):
+    def run(params, deltas_or_none, tokens):
+        cache = llama.init_cache(cfg, batch, MAX_SEQ, jnp.bfloat16)
+        cache = cache._replace(length=jnp.full((batch,), 32, jnp.int32))
+
         def body(carry, _):
             tokens, cache = carry
             logits, cache = step_fn(params, deltas_or_none, tokens, cache)
@@ -259,7 +268,7 @@ def make_chained(cfg, kernel, step_fn, batch):
         (tokens, cache), _ = jax.lax.scan(body, (tokens, cache), None,
                                           length=STEPS)
         return tokens.sum() + cache.length.sum()
-    return run, cache0, tokens0
+    return run, tokens0
 
 
 def bench_engine(cfg, params, deltas, kernel, model=None):
@@ -272,7 +281,12 @@ def bench_engine(cfg, params, deltas, kernel, model=None):
                         vocab_sizes=jnp.full((TENANTS,), cfg.vocab_size,
                                              jnp.int32),
                         num_tenants=TENANTS)
-    eng = Engine(cfg, stack, max_slots=TENANTS, max_seq=MAX_SEQ,
+    # Serving cache sized to the bench generations (30-token prompt +
+    # ENGINE_NEW_TOKENS < 128): at S=256 the engine cache PLUS the
+    # batched-prefill rowcache (both (L, B, S, KV, hd)) added ~3.2 GB
+    # on top of the 13 GB world — over the 15.9 GB chip at 32L/T6.
+    eng_seq = min(MAX_SEQ, max(128, 64 + ENGINE_NEW_TOKENS))
+    eng = Engine(cfg, stack, max_slots=TENANTS, max_seq=eng_seq,
                  prefill_buckets=(64,), kernel=kernel, model=model,
                  compute_dtype=jnp.bfloat16, decode_chunk=ENGINE_CHUNK)
     log("engine warmup (prefill bucket + decode chunk compiles) ...")
@@ -417,8 +431,8 @@ def phase_ours(cfg, kernel):
                                  compute_dtype=jnp.bfloat16, kernel=kernel)
 
     log("[ours] compiling + running the chained multi-tenant step ...")
-    run_o, cache_o, tok_o = make_chained(cfg, kernel, ours_step, TENANTS)
-    t_ours, c1 = timed(run_o, serve_params, deltas, cache_o, tok_o)
+    run_o, tok_o = make_chained(cfg, kernel, ours_step, TENANTS)
+    t_ours, c1 = timed(run_o, serve_params, deltas, tok_o)
     log(f"[ours] {t_ours*1e3:.2f} ms/step = {TENANTS/t_ours:.1f} tok/s "
         f"(first call incl compile {c1:.0f}s)")
     return {"phase": "ours", "t_step": t_ours,
@@ -459,9 +473,9 @@ def phase_naive_bf16(cfg, kernel):
     params = build_resilient(lambda: build_naive_params(cfg),
                              "naive bf16 model")
     log("[naive_bf16] compiling + running ...")
-    run_n, cache_n, tok_n = make_chained(cfg, kernel,
-                                         _naive_step_fn(cfg, kernel), 1)
-    t, _ = timed(run_n, params, None, cache_n, tok_n)
+    run_n, tok_n = make_chained(cfg, kernel,
+                                _naive_step_fn(cfg, kernel), 1)
+    t, _ = timed(run_n, params, None, tok_n)
     log(f"[naive_bf16] {t*1e3:.2f} ms/model-step")
     return {"phase": "naive_bf16", "t_step": t}
 
@@ -499,9 +513,9 @@ def phase_naive_w8(cfg, kernel):
     params = build_resilient(lambda: build_naive_w8_params(cfg),
                              "naive W8 model")
     log("[naive_w8] compiling + running ...")
-    run_n, cache_n, tok_n = make_chained(cfg, kernel,
-                                         _naive_step_fn(cfg, kernel), 1)
-    t, _ = timed(run_n, params, None, cache_n, tok_n)
+    run_n, tok_n = make_chained(cfg, kernel,
+                                _naive_step_fn(cfg, kernel), 1)
+    t, _ = timed(run_n, params, None, tok_n)
     log(f"[naive_w8] {t*1e3:.2f} ms/model-step")
     return {"phase": "naive_w8", "t_step": t}
 
@@ -621,8 +635,8 @@ def phase_mix_ours(cfg_unused, kernel):
                                    kernel=kernel)
 
     log("[mix_ours] compiling + running the chained multi-tenant step ...")
-    run, cache0, tok0 = make_chained(cfg, kernel, step, TENANTS)
-    t, c1 = timed(run, params, deltas, cache0, tok0)
+    run, tok0 = make_chained(cfg, kernel, step, TENANTS)
+    t, c1 = timed(run, params, deltas, tok0)
     log(f"[mix_ours] {t*1e3:.2f} ms/step = {TENANTS/t:.1f} tok/s "
         f"(first call incl compile {c1:.0f}s)")
     out = {"phase": "mix_ours", "t_step": t}
@@ -700,8 +714,8 @@ def _phase_mix_naive(kernel, dtype, label):
                                    kernel=kernel)
 
     log(f"[{label}] compiling + running ...")
-    run, cache0, tok0 = make_chained(cfg, kernel, step, 1)
-    t, _ = timed(run, params, None, cache0, tok0)
+    run, tok0 = make_chained(cfg, kernel, step, 1)
+    t, _ = timed(run, params, None, tok0)
     log(f"[{label}] {t*1e3:.2f} ms/model-step")
     return {"phase": label, "t_step": t}
 
@@ -854,7 +868,12 @@ def run_mixtral(out):
     """Mixtral end-to-end decode rows (appended to the headline record;
     failures degrade down the (L, E, T) ladder and finally record
     mixtral_error instead of killing the llama result)."""
-    rungs = [(8, 4, 4), (8, 2, 4), (4, 2, 2)]
+    # (L, E, T): try the real Mixtral-8x7B expert count FIRST (E=8 at
+    # reduced depth, ~12 GB peak in the naive-bf16 phase) — at E=8 the
+    # naive side streams all 8 experts while routed deltas touch only
+    # top-2, so lower-E rungs UNDERSTATE the speedup (BENCHNOTES
+    # "Mixtral END-TO-END"). Per-layer cost is linear (scanned).
+    rungs = [(4, 8, 4), (8, 4, 4), (8, 2, 4), (4, 2, 2)]
     last_err = "no mixtral rung completed"
     for li, ei, ti in rungs:
         log(f"=== mixtral rung {li}L/{ei}E/T{ti} ===")

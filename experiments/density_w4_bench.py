@@ -113,8 +113,8 @@ def child_main(tenants):
                                  compute_dtype=cdtype, kernel=kernel)
 
     log(f"[w4 T={tenants}] compiling + running the chained step ...")
-    run, cache0, tok0 = bench.make_chained(cfg, kernel, step, tenants)
-    t, c1 = bench.timed(run, params, deltas, cache0, tok0)
+    run, tok0 = bench.make_chained(cfg, kernel, step, tenants)
+    t, c1 = bench.timed(run, params, deltas, tok0)
     log(f"[w4 T={tenants}] {t*1e3:.2f} ms/step = {tenants/t:.1f} tok/s "
         f"(first call incl compile {c1:.0f}s)")
     print(json.dumps({
