@@ -989,10 +989,10 @@ def main():
                 continue
             out = combine(recs, li, ti,
                           backend=recs["ours"].get("backend", "tpu"))
+            out["num_layers"], out["tenants"] = li, ti
             if (li, ti) != (L0, T0):
                 out["degraded_from_layers"] = L0
                 out["degraded_from_tenants"] = T0
-                out["num_layers"], out["tenants"] = li, ti
             out["compiled_check"] = compiled_check
             if os.environ.get("BENCH_MIX", "1") == "1":
                 run_mixtral(out)
