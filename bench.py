@@ -325,7 +325,17 @@ def _is_oom(e) -> bool:
     return "RESOURCE_EXHAUSTED" in repr(e)
 
 
-def build_resilient(builder, what, retries=3, wait_s=45, before=None):
+def build_resilient(builder, what, retries=None, wait_s=90, before=None):
+    if retries is None:
+        # Default ONE attempt: an OOMed partial build's memory is
+        # neither returned to the pool nor reusable in-process (the
+        # relay has no client-side buffer reuse — BENCHNOTES "in-process
+        # frees"), so an in-child retry re-allocates from a pool the
+        # child itself just deepened a hole in. Fail fast, exit (the
+        # only real free), and let the parent's rung backoff pace the
+        # re-attempts across the reap lag. Callers with small worlds
+        # (< half the chip) may still pass retries>1 usefully.
+        retries = int(os.environ.get("BENCH_BUILD_RETRIES", "1"))
     """Run ``builder()`` with retry-on-RESOURCE_EXHAUSTED.
 
     The bench chip is a POOLED v5e behind a relay: other clients' (or a

@@ -104,8 +104,7 @@ def child_main(tenants):
     log(f"[w4 T={tenants}] building W4 serve world: {cfg.num_layers}L, "
         f"S={MAX_SEQ} ...")
     params, deltas = bench.build_resilient(
-        lambda: build_w4_world(cfg), "W4 serve world",
-        retries=2, wait_s=30)
+        lambda: build_w4_world(cfg), "W4 serve world")
 
     def step(p, d, tokens, cache):
         return llama.decode_step(cfg, p, tokens, cache, deltas=d,

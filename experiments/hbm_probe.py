@@ -18,7 +18,10 @@ import jax
 import jax.numpy as jnp
 
 BLOCK_MB = 256
-MAX_BLOCKS = 64  # 16 GB cap
+# Optional cap (MB): probe only up to this much, then exit — a capped
+# probe answers "would an X-GB build fit right now?" without grabbing
+# (and then slow-reaping) the whole pool.
+MAX_BLOCKS = int(os.environ.get("PROBE_MAX_MB", str(64 * 256))) // BLOCK_MB
 
 
 def main():
