@@ -142,6 +142,33 @@ def _rand_bits_jit(key, shape, dtype):
     return jax.lax.bitcast_convert_type(raw, dtype).reshape(shape)
 
 
+def ratchet(make, what="slab"):
+    """Allocate ONE slab with hold-and-retry: on RESOURCE_EXHAUSTED,
+    keep every slab already held (memory we hold is safe from the
+    pool's competitor — only FREED memory gets snatched) and retry just
+    this slab after a short wait. Turns a build race the competitor
+    wins in seconds into a ratchet: each of its transient releases gets
+    banked into our world. Contrast build_resilient, which rebuilds
+    from scratch (the OOMed partial is unreturnable AND unreusable
+    in-process, so scratch-rebuilds dig the hole deeper)."""
+    tries = int(os.environ.get("BENCH_SLAB_TRIES", "40"))
+    wait_s = float(os.environ.get("BENCH_SLAB_WAIT_S", "15"))
+    for attempt in range(tries):
+        try:
+            out = make()
+            _force(out)   # real materialization (relay commits lazily)
+            return out
+        except Exception as e:  # noqa: BLE001 — re-raised unless OOM
+            if not _is_oom(e):
+                raise
+            if attempt == tries - 1:
+                raise
+            if attempt % 4 == 0:
+                log(f"  slab OOM ({what}) — holding "
+                    f"{attempt + 1}/{tries}, retry in {wait_s:.0f}s")
+            time.sleep(wait_s)
+
+
 def rand_bits(key, shape, dtype=jnp.int32):
     """Random packed words with temps no larger than the output.
 
@@ -153,12 +180,28 @@ def rand_bits(key, shape, dtype=jnp.int32):
     bitcast into a single output write: eagerly, the raw uint32 buffer
     materializes next to the output (2x bytes — a 3.8 GB transient on
     the (32, 4096, 14336) int8 gate slab, observed OOM when the pooled
-    chip wasn't empty)."""
+    chip wasn't empty). Allocation ratchets (see :func:`ratchet`)."""
     nbits = jnp.dtype(dtype).itemsize * 8
     assert (shape[-1] * nbits) % 32 == 0
-    out = _rand_bits_jit(key, tuple(shape), dtype)
-    out.block_until_ready()
-    return out
+    return ratchet(lambda: _rand_bits_jit(key, tuple(shape), dtype),
+                   f"rand_bits{tuple(shape)}")
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _rand_weight_jit(key, shape, dtype):
+    # Uniform int8 bits cast to the target dtype and scaled: ONE fused
+    # threefry -> cast -> scale output write. jax.random.normal would
+    # stage an f32 temp (2-4x the bf16 output — 7.5 GB on the 32L gate
+    # stack); uniform +-0.02 weights time identically.
+    raw = _rand_bits_jit(key, shape, jnp.int8)
+    return (raw.astype(dtype) * (0.02 / 127.0)).astype(dtype)
+
+
+def rand_weight(key, shape, dtype=jnp.bfloat16):
+    """Plausible-magnitude random dense weights allocated as ONE fused
+    slab write (no f32 staging), with ratcheting."""
+    return ratchet(lambda: _rand_weight_jit(key, tuple(shape), dtype),
+                   f"rand_weight{tuple(shape)}")
 
 
 def build_cfg(num_layers=None):
@@ -203,10 +246,8 @@ def build_serve_world(cfg):
     params = {
         "layers": layers,
         "final_norm": jnp.ones((T, D), jnp.bfloat16),
-        "embed": (jax.random.normal(next(keys), (V, D), jnp.bfloat16)
-                  * 0.02),
-        "lm_head": (jax.random.normal(next(keys), (D, V), jnp.bfloat16)
-                    * 0.02),
+        "embed": rand_weight(next(keys), (V, D)),
+        "lm_head": rand_weight(next(keys), (D, V)),
     }
     # 1-bit compressed per-tenant embeddings/lm_head (shared base +
     # delta): kills the per-tenant dense (V, D) tensors entirely.
@@ -366,33 +407,24 @@ def build_resilient(builder, what, retries=None, wait_s=90, before=None):
 
 
 def build_naive_params(cfg):
-    """Dense bf16 model generated layer-by-layer: one f32 random temp is
-    never bigger than a single (K, N) layer slice (init_params' stacked
-    (L, K, N) f32 temps OOM the chip next to an already-built world)."""
+    """Dense bf16 model: every (L, K, N) stack is ONE fused slab write
+    (rand_weight — uniform bits cast to bf16). The old layer-by-layer
+    python-list + jnp.stack approach held rows AND the stacked copy
+    simultaneously (+7.5 GB transient on the 32L gate stack, on top of
+    ~10 GB of already-built stacks — it could never build the FULL
+    32-layer naive world on a 16 GB chip), and jax.random.normal would
+    stage f32 temps besides."""
     keys = iter(jax.random.split(jax.random.PRNGKey(0), 1024))
-    L, D, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
-
-    def slice_(k, n):
-        return (jax.random.normal(next(keys), (k, n), jnp.float32)
-                * 0.02).astype(jnp.bfloat16)
-
-    def stacked(k, n):
-        rows = []
-        for _ in range(L):
-            rows.append(slice_(k, n))
-            rows[-1].block_until_ready()
-        out = jnp.stack(rows)
-        out.block_until_ready()
-        return out
+    L, D = cfg.num_layers, cfg.hidden_size
 
     params = {
-        "embed": slice_(cfg.vocab_size, D),
+        "embed": rand_weight(next(keys), (cfg.vocab_size, D)),
         "final_norm": jnp.ones((D,), jnp.bfloat16),
-        "lm_head": slice_(D, cfg.vocab_size),
+        "lm_head": rand_weight(next(keys), (D, cfg.vocab_size)),
         "layers": {
             "attn_norm": jnp.ones((L, D), jnp.bfloat16),
             "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
-            **{name: stacked(k, n)
+            **{name: rand_weight(next(keys), (L, k, n))
                for name, (k, n) in proj_shapes(cfg).items()},
         },
     }
@@ -509,10 +541,8 @@ def build_naive_w8_params(cfg):
     return {
         "layers": layers,
         "final_norm": jnp.ones((D,), jnp.bfloat16),
-        "embed": (jax.random.normal(next(keys), (V, D), jnp.bfloat16)
-                  * 0.02),
-        "lm_head": (jax.random.normal(next(keys), (D, V), jnp.bfloat16)
-                    * 0.02),
+        "embed": rand_weight(next(keys), (V, D)),
+        "lm_head": rand_weight(next(keys), (D, V)),
     }
 
 
@@ -583,8 +613,7 @@ def build_mix_serve_world(cfg):
     layers = {
         "attn_norm": jnp.ones((L, T, D), jnp.bfloat16),
         "mlp_norm": jnp.ones((L, T, D), jnp.bfloat16),
-        "router": (jax.random.normal(next(keys), (L, D, E), jnp.bfloat16)
-                   * 0.02),
+        "router": rand_weight(next(keys), (L, D, E)),
     }
     deltas = {}
     def pair_or_canonical(key, lead, k, n):
@@ -613,10 +642,8 @@ def build_mix_serve_world(cfg):
     params = {
         "layers": layers,
         "final_norm": jnp.ones((T, D), jnp.bfloat16),
-        "embed": (jax.random.normal(next(keys), (V, D), jnp.bfloat16)
-                  * 0.02),
-        "lm_head": (jax.random.normal(next(keys), (D, V), jnp.bfloat16)
-                    * 0.02),
+        "embed": rand_weight(next(keys), (V, D)),
+        "lm_head": rand_weight(next(keys), (D, V)),
     }
     deltas["embed"] = BinaryDelta(
         packed=rand_bits(next(keys), (T, D // 32, V)),
@@ -657,41 +684,27 @@ def phase_mix_ours(cfg_unused, kernel):
 
 
 def build_mix_naive_params(cfg, dtype="bf16"):
-    """Single dense Mixtral fine-tune, built expert-slice-by-slice so no
-    f32 temp exceeds one (K, N) matrix (the (L, E, K, N) stacks would
-    OOM as one random op)."""
+    """Single dense Mixtral fine-tune: each (L[, E], K, N) stack is ONE
+    fused ratcheting slab (rand_weight / rand_bits — no python-list
+    stacking, no f32 staging; see build_naive_params)."""
     from bitdelta_tpu.research.quantized_base import Int8Weight
 
     keys = iter(jax.random.split(jax.random.PRNGKey(5), 4096))
     L, E = cfg.num_layers, cfg.num_experts
     D, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
 
-    def slice_(k, n):
-        if dtype == "int8":
-            return rand_bits(next(keys), (k, n), jnp.int8)
-        out = (jax.random.normal(next(keys), (k, n), jnp.float32)
-               * 0.02).astype(jnp.bfloat16)
-        out.block_until_ready()
-        return out
-
     def stacked(*lead, kn):
-        import itertools
         k, n = kn
-        flat = []
-        for _ in range(int(np.prod(lead))):
-            flat.append(slice_(k, n))
-        out = jnp.stack(flat).reshape(*lead, k, n)
-        out.block_until_ready()
         if dtype == "int8":
-            return Int8Weight(q=out, scale=jnp.full((*lead, n), 2e-4,
-                                                    jnp.float32))
-        return out
+            return Int8Weight(
+                q=rand_bits(next(keys), (*lead, k, n), jnp.int8),
+                scale=jnp.full((*lead, n), 2e-4, jnp.float32))
+        return rand_weight(next(keys), (*lead, k, n))
 
     layers = {
         "attn_norm": jnp.ones((L, D), jnp.bfloat16),
         "mlp_norm": jnp.ones((L, D), jnp.bfloat16),
-        "router": (jax.random.normal(next(keys), (L, D, E), jnp.bfloat16)
-                   * 0.02),
+        "router": rand_weight(next(keys), (L, D, E)),
         "q_proj": stacked(L, kn=(D, cfg.q_dim)),
         "k_proj": stacked(L, kn=(D, cfg.kv_dim)),
         "v_proj": stacked(L, kn=(D, cfg.kv_dim)),
@@ -703,10 +716,8 @@ def build_mix_naive_params(cfg, dtype="bf16"):
     return {
         "layers": layers,
         "final_norm": jnp.ones((D,), jnp.bfloat16),
-        "embed": (jax.random.normal(next(keys), (V, D), jnp.bfloat16)
-                  * 0.02),
-        "lm_head": (jax.random.normal(next(keys), (D, V), jnp.bfloat16)
-                    * 0.02),
+        "embed": rand_weight(next(keys), (V, D)),
+        "lm_head": rand_weight(next(keys), (D, V)),
     }
 
 
