@@ -339,13 +339,20 @@ def bench_engine(cfg, params, deltas, kernel, model=None):
     reqs = [Request(prompt_ids=list(rng.integers(1, cfg.vocab_size, 30)),
                     tenant_id=t, max_new_tokens=ENGINE_NEW_TOKENS)
             for t in range(TENANTS)]
-    t0 = time.perf_counter()
-    outs = eng.generate(reqs)
-    dt = time.perf_counter() - t0
-    toks = sum(len(o) for o in outs)
-    log(f"  engine: {toks} tokens in {dt:.2f}s = {toks/dt:.1f} tok/s "
-        f"(chunk={ENGINE_CHUNK})")
-    return toks / dt
+    # Best-of-TRIALS, mirroring timed()'s min-over-trials: the first
+    # generate() absorbs warmup's queued device tail (block_until_ready
+    # lies through the relay) and any pool-competitor burst; slots all
+    # free at completion so re-running is a clean repeat.
+    best = 0.0
+    for trial in range(max(2, TRIALS)):
+        t0 = time.perf_counter()
+        outs = eng.generate(reqs)
+        dt = time.perf_counter() - t0
+        toks = sum(len(o) for o in outs)
+        log(f"  engine trial {trial}: {toks} tokens in {dt:.2f}s = "
+            f"{toks/dt:.1f} tok/s (chunk={ENGINE_CHUNK})")
+        best = max(best, toks / dt)
+    return best
 
 
 def _force(tree):
