@@ -192,8 +192,14 @@ def _rand_weight_jit(key, shape, dtype):
     # Uniform int8 bits cast to the target dtype and scaled: ONE fused
     # threefry -> cast -> scale output write. jax.random.normal would
     # stage an f32 temp (2-4x the bf16 output — 7.5 GB on the 32L gate
-    # stack); uniform +-0.02 weights time identically.
-    raw = _rand_bits_jit(key, shape, jnp.int8)
+    # stack); uniform +-0.02 weights time identically. A last dim that
+    # doesn't fill whole 32-bit words (e.g. a (L, D, 2) router at E=2)
+    # generates padded and slices.
+    *lead, last = shape
+    pad = -last % 4
+    raw = _rand_bits_jit(key, (*lead, last + pad), jnp.int8)
+    if pad:
+        raw = raw[..., :last]
     return (raw.astype(dtype) * (0.02 / 127.0)).astype(dtype)
 
 
