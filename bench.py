@@ -151,7 +151,11 @@ def ratchet(make, what="slab"):
     banked into our world. Contrast build_resilient, which rebuilds
     from scratch (the OOMed partial is unreturnable AND unreusable
     in-process, so scratch-rebuilds dig the hole deeper)."""
-    tries = int(os.environ.get("BENCH_SLAB_TRIES", "40"))
+    # ~5 min default siege per slab: long enough to bank a competitor
+    # dip that lands mid-build, short enough that a fully-squatted pool
+    # degrades the rung ladder at r03-like cadence (the artifact must
+    # land within the driver's patience; raise for manual camping).
+    tries = int(os.environ.get("BENCH_SLAB_TRIES", "20"))
     wait_s = float(os.environ.get("BENCH_SLAB_WAIT_S", "15"))
     for attempt in range(tries):
         try:
