@@ -30,12 +30,25 @@ cache feed back step-to-step), fetches a single scalar, and subtracts a
 measured null-call floor; per-step = total / steps, min over trials.
 See BENCHNOTES.md.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Artifact delivery (round 5, VERDICT r4 item 1 — r04's artifact was
+parsed:null because one JSON line printed only after the final rung and
+the driver's timeout killed the run first): the parent now emits a JSON
+line {"metric", "value", "unit", "vs_baseline", ...} after EVERY stage
+(bootstrap -> guaranteed-fit safe rung -> engine row -> north-star
+upgrade -> Mixtral), last-line-wins, and installs SIGTERM/SIGINT/SIGALRM
+handlers that re-emit the best-so-far record as the actual last line of
+output before exiting — so even a timeout kill yields a parsed artifact.
+A total wall budget (BENCH_WALL_BUDGET_S) paces the ladder inside the
+driver's patience; phase children get their own SIGALRM so they exit
+CLEANLY when over budget (process exit is the only real HBM free
+through this relay — a SIGKILLed child leaks server-side, CLAUDE.md).
 """
 
 import gc
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -65,6 +78,19 @@ ENGINE_CHUNK = int(os.environ.get("BENCH_ENGINE_CHUNK", "16"))
 ENGINE_NEW_TOKENS = int(os.environ.get("BENCH_ENGINE_NEW_TOKENS", "64"))
 MAX_SEQ = 256
 REFERENCE_SPEEDUP = 2.0  # docs/index.html:394-404
+
+# Round-5 staged-ladder knobs (parent only; see main()).
+# Total wall budget: comfortably inside the driver's observed patience
+# (r04 was killed by `timeout`; r03's full safe-rung run took ~6 min on
+# a cooperative pool). 0 disables the alarm (manual camping).
+WALL_BUDGET_S = int(os.environ.get("BENCH_WALL_BUDGET_S", "2400"))
+# The guaranteed-fit first rung: 16L/T6 built fine inside pool dips all
+# of round 4 (~7.5 GB world); its record lands before any 32L camping.
+SAFE_LAYERS = int(os.environ.get("BENCH_SAFE_LAYERS", "16"))
+# Seconds reserved for the Mixtral ladder after the upgrade camp.
+MIX_RESERVE_S = int(os.environ.get("BENCH_MIX_RESERVE_S", "600"))
+# Minimum remaining budget to start another north-star upgrade attempt.
+UPGRADE_MIN_S = int(os.environ.get("BENCH_UPGRADE_MIN_S", "480"))
 
 # Measured machine rooflines (BENCHNOTES.md; floor-corrected, chained).
 HBM_BYTES_PER_S = 0.72e12        # achievable stream (88% of v5e spec)
@@ -155,7 +181,7 @@ def ratchet(make, what="slab"):
     # dip that lands mid-build, short enough that a fully-squatted pool
     # degrades the rung ladder at r03-like cadence (the artifact must
     # land within the driver's patience; raise for manual camping).
-    tries = int(os.environ.get("BENCH_SLAB_TRIES", "20"))
+    tries = max(1, int(os.environ.get("BENCH_SLAB_TRIES", "20")))
     wait_s = float(os.environ.get("BENCH_SLAB_WAIT_S", "15"))
     for attempt in range(tries):
         try:
@@ -336,6 +362,9 @@ def bench_engine(cfg, params, deltas, kernel, model=None):
     # ENGINE_NEW_TOKENS < 128): at S=256 the engine cache PLUS the
     # batched-prefill rowcache (both (L, B, S, KV, hd)) added ~3.2 GB
     # on top of the 13 GB world — over the 15.9 GB chip at 32L/T6.
+    assert 64 + ENGINE_NEW_TOKENS <= MAX_SEQ, (
+        f"BENCH_ENGINE_NEW_TOKENS={ENGINE_NEW_TOKENS} overflows the "
+        f"prefill bucket 64 + MAX_SEQ {MAX_SEQ} serving cache")
     eng_seq = min(MAX_SEQ, max(128, 64 + ENGINE_NEW_TOKENS))
     eng = Engine(cfg, stack, max_slots=TENANTS, max_seq=eng_seq,
                  prefill_buckets=(64,), kernel=kernel, model=model,
@@ -349,20 +378,29 @@ def bench_engine(cfg, params, deltas, kernel, model=None):
     reqs = [Request(prompt_ids=list(rng.integers(1, cfg.vocab_size, 30)),
                     tenant_id=t, max_new_tokens=ENGINE_NEW_TOKENS)
             for t in range(TENANTS)]
-    # Best-of-TRIALS, mirroring timed()'s min-over-trials: the first
-    # generate() absorbs warmup's queued device tail (block_until_ready
-    # lies through the relay) and any pool-competitor burst; slots all
-    # free at completion so re-running is a clean repeat.
-    best = 0.0
-    for trial in range(max(2, TRIALS)):
+    # All trials recorded; the headline engine_tok_s is the MEDIAN of
+    # the steady trials (trial 0 absorbs warmup's queued device tail —
+    # block_until_ready lies through the relay — and is excluded).
+    # Round 4 shipped best-of-trials, which under pool-competitor noise
+    # is one-sided selection (VERDICT r4 weak 3); the median is the
+    # bisect-grade number, with best kept alongside for comparison.
+    trials = []
+    for trial in range(1 + max(3, TRIALS)):
         t0 = time.perf_counter()
         outs = eng.generate(reqs)
         dt = time.perf_counter() - t0
         toks = sum(len(o) for o in outs)
         log(f"  engine trial {trial}: {toks} tokens in {dt:.2f}s = "
-            f"{toks/dt:.1f} tok/s (chunk={ENGINE_CHUNK})")
-        best = max(best, toks / dt)
-    return best
+            f"{toks/dt:.1f} tok/s (chunk={ENGINE_CHUNK})"
+            + (" [warmup-tail, excluded]" if trial == 0 else ""))
+        trials.append(toks / dt)
+    steady = sorted(trials[1:])
+    n = len(steady)
+    med = (steady[n // 2] if n % 2
+           else 0.5 * (steady[n // 2 - 1] + steady[n // 2]))
+    return {"engine_tok_s": round(med, 1),
+            "engine_tok_s_best": round(max(trials), 1),
+            "engine_trials": [round(t, 1) for t in trials]}
 
 
 def _force(tree):
@@ -384,16 +422,6 @@ def _is_oom(e) -> bool:
 
 
 def build_resilient(builder, what, retries=None, wait_s=90, before=None):
-    if retries is None:
-        # Default ONE attempt: an OOMed partial build's memory is
-        # neither returned to the pool nor reusable in-process (the
-        # relay has no client-side buffer reuse — BENCHNOTES "in-process
-        # frees"), so an in-child retry re-allocates from a pool the
-        # child itself just deepened a hole in. Fail fast, exit (the
-        # only real free), and let the parent's rung backoff pace the
-        # re-attempts across the reap lag. Callers with small worlds
-        # (< half the chip) may still pass retries>1 usefully.
-        retries = int(os.environ.get("BENCH_BUILD_RETRIES", "1"))
     """Run ``builder()`` with retry-on-RESOURCE_EXHAUSTED.
 
     The bench chip is a POOLED v5e behind a relay: other clients' (or a
@@ -402,8 +430,19 @@ def build_resilient(builder, what, retries=None, wait_s=90, before=None):
     retrying is the honest fix; callers degrade the config only after
     retries are exhausted (and must say so in the output).
 
+    ``retries=None`` reads BENCH_BUILD_RETRIES (default 1 — fail fast):
+    an OOMed partial build's memory is neither returned to the pool nor
+    reusable in-process (the relay has no client-side buffer reuse —
+    BENCHNOTES "in-process frees"), so an in-child retry re-allocates
+    from a pool the child itself just deepened a hole in. Exit (the only
+    real free) and let the parent's rung backoff pace the re-attempts
+    across the reap lag. Callers with small worlds (< half the chip)
+    may still pass retries>1 usefully.
+
     ``before``: called before EVERY attempt — the ballast hook that
     consolidates owned HBM and frees exactly this build's need."""
+    if retries is None:
+        retries = max(1, int(os.environ.get("BENCH_BUILD_RETRIES", "1")))
     for attempt in range(retries):
         try:
             if before is not None:
@@ -511,8 +550,7 @@ def phase_ours_engine(cfg, kernel):
     serve_params, deltas = build_resilient(
         lambda: build_serve_world(cfg), "serve world")
     return {"phase": "ours_engine",
-            "engine_tok_s": bench_engine(cfg, serve_params, deltas,
-                                         kernel)}
+            **bench_engine(cfg, serve_params, deltas, kernel)}
 
 
 def _naive_step_fn(cfg, kernel):
@@ -695,8 +733,8 @@ def phase_mix_ours(cfg_unused, kernel):
         f"(first call incl compile {c1:.0f}s)")
     out = {"phase": "mix_ours", "t_step": t}
     if os.environ.get("BENCH_MIX_ENGINE", "0") == "1":
-        out["engine_tok_s"] = bench_engine(cfg, params, deltas, kernel,
-                                           model=mixtral)
+        out.update(bench_engine(cfg, params, deltas, kernel,
+                                model=mixtral))
     return out
 
 
@@ -793,6 +831,23 @@ def child_main():
     import threading
 
     phase = os.environ["BENCH_PHASE"]
+
+    # Child wall budget: when the parent's ladder pacing gives this
+    # phase a deadline, exceed it by RAISING (so ratchet sieges and
+    # relay waits unwind through child_main's except -> error JSON ->
+    # clean interpreter exit). A clean exit is the only path that
+    # reliably returns HBM to the pool; a parent-side SIGKILL leaks
+    # server-side for minutes-to-hours (CLAUDE.md lazy-alloc notes).
+    def _over_budget(signum, _frame):
+        raise TimeoutError(
+            f"child wall budget exceeded (signal {signum})")
+
+    child_wall = int(os.environ.get("BENCH_CHILD_WALL_S", "0"))
+    signal.signal(signal.SIGTERM, _over_budget)
+    if child_wall > 0:
+        signal.signal(signal.SIGALRM, _over_budget)
+        signal.alarm(child_wall)
+
     backend = jax.default_backend()
     acquire_s = int(os.environ.get("BENCH_ACQUIRE_TIMEOUT_S", "2700"))
     acquired = threading.Event()
@@ -825,18 +880,47 @@ def child_main():
     print(json.dumps(out), flush=True)
 
 
-def run_phase(phase, li, ti, extra_env=None):
+_CHILD = None  # current phase subprocess — the ONLY thing we ever kill
+
+
+def run_phase(phase, li, ti, extra_env=None, timeout_s=None):
     """Launch one phase subprocess; return (rc, parsed record or None).
-    Child stderr streams through to ours (live progress)."""
-    import subprocess
+    Child stderr streams through to ours (live progress).
+
+    ``timeout_s`` sets the child's own SIGALRM wall budget (clean
+    in-child exit); the parent only escalates to terminate/kill if the
+    child overruns that by a grace period (a killed child can leak its
+    HBM server-side, so the in-child alarm is the primary mechanism)."""
+    global _CHILD
 
     env = {**os.environ, "BENCH_PHASE": phase,
            "BENCH_LAYERS": str(li), "BENCH_TENANTS": str(ti),
            **(extra_env or {})}
-    p = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                       env=env, stdout=subprocess.PIPE, text=True)
+    if timeout_s is not None and timeout_s >= 1e8:
+        timeout_s = None  # _remaining()'s no-budget sentinel
+    if timeout_s is not None:
+        env.setdefault("BENCH_CHILD_WALL_S", str(int(max(60, timeout_s))))
+        env.setdefault("BENCH_ACQUIRE_TIMEOUT_S",
+                       str(int(max(120, timeout_s))))
+    p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                         env=env, stdout=subprocess.PIPE, text=True)
+    _CHILD = p
+    try:
+        stdout, _ = p.communicate(
+            timeout=None if timeout_s is None else timeout_s + 120)
+    except subprocess.TimeoutExpired:
+        log(f"  [{phase}] child ignored its wall budget — terminating "
+            f"pid {p.pid}")
+        p.terminate()
+        try:
+            stdout, _ = p.communicate(timeout=30)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, _ = p.communicate()
+    finally:
+        _CHILD = None
     rec = None
-    for line in reversed(p.stdout.strip().splitlines()):
+    for line in reversed((stdout or "").strip().splitlines()):
         try:
             rec = json.loads(line)
             break
@@ -874,7 +958,8 @@ def combine(recs, li, ti, backend="tpu"):
     }
     for k in ("hbm_bytes_per_step", "vpu_unpacked_elems_per_step",
               "hbm_frac", "vpu_frac", "sol_frac_overlapped",
-              "engine_tok_s", "engine_error"):
+              "engine_tok_s", "engine_tok_s_best", "engine_trials",
+              "engine_error"):
         if k in recs["ours"]:
             out[k] = recs["ours"][k]
     if "engine_tok_s" in out:
@@ -902,10 +987,12 @@ def _recheck_w8(recs, w8_key, bf16_key, rerun):
     return recs
 
 
-def run_mixtral(out):
+def run_mixtral(out, deadline=None):
     """Mixtral end-to-end decode rows (appended to the headline record;
     failures degrade down the (L, E, T) ladder and finally record
-    mixtral_error instead of killing the llama result)."""
+    mixtral_error instead of killing the llama result). ``deadline``
+    (absolute time.time()) stops the ladder when the parent's wall
+    budget is nearly spent — the already-emitted llama record stands."""
     # (L, E, T): try the real Mixtral-8x7B expert count FIRST (E=8 at
     # reduced depth, ~12 GB peak in the naive-bf16 phase) — at E=8 the
     # naive side streams all 8 experts while routed deltas touch only
@@ -913,13 +1000,22 @@ def run_mixtral(out):
     # "Mixtral END-TO-END"). Per-layer cost is linear (scanned).
     rungs = [(4, 8, 4), (8, 4, 4), (8, 2, 4), (4, 2, 2)]
     last_err = "no mixtral rung completed"
+
+    def _left():
+        return None if deadline is None else deadline - time.time()
+
     for li, ei, ti in rungs:
+        if deadline is not None and _left() < 180:
+            last_err = (f"{last_err}; remaining rungs skipped "
+                        f"(wall budget: {_left():.0f}s left)")
+            break
         log(f"=== mixtral rung {li}L/{ei}E/T{ti} ===")
         env = {"BENCH_MIX_EXPERTS": str(ei)}
         recs = {}
         failed = None
         for phase in ("mix_ours", "mix_naive_bf16", "mix_naive_w8"):
-            rc, rec = run_phase(phase, li, ti, extra_env=env)
+            rc, rec = run_phase(phase, li, ti, extra_env=env,
+                                timeout_s=_left())
             if rc != 0 or rec is None or "error" in (rec or {}):
                 failed = (phase, rc, (rec or {}).get("error", "no record"))
                 break
@@ -931,7 +1027,8 @@ def run_mixtral(out):
             continue
         recs = _recheck_w8(recs, "mix_naive_w8", "mix_naive_bf16",
                            lambda: run_phase("mix_naive_w8", li, ti,
-                                             extra_env=env))
+                                             extra_env=env,
+                                             timeout_s=_left()))
         t = recs["mix_ours"]["t_step"]
         out["mixtral_speedup_vs_naive_bf16"] = round(
             recs["mix_naive_bf16"]["t_step"] * ti / t, 3)
@@ -939,9 +1036,9 @@ def run_mixtral(out):
             recs["mix_naive_w8"]["t_step"] * ti / t, 3)
         out["mixtral_tok_s_per_chip"] = round(ti / t, 1)
         out["mixtral_ms_per_step"] = round(t * 1e3, 2)
-        if "engine_tok_s" in recs["mix_ours"]:
-            out["mixtral_engine_tok_s"] = round(
-                recs["mix_ours"]["engine_tok_s"], 1)
+        for k in ("engine_tok_s", "engine_tok_s_best", "engine_trials"):
+            if k in recs["mix_ours"]:
+                out[f"mixtral_{k}"] = recs["mix_ours"][k]
         out["mixtral_config"] = (f"{li}L x {ei}E(topk{MIX_TOPK}) x T{ti}, "
                                  f"Mistral width, W8 base + routed pair "
                                  f"deltas")
@@ -953,77 +1050,162 @@ def run_mixtral(out):
     out["mixtral_error"] = last_err
 
 
+# ---------------------------------------------------------------------------
+# Parent orchestration (round 5): staged ladder with incremental
+# emission. The artifact convention is last-line-wins, so the parent
+# prints a (monotonically improving) headline record after EVERY stage
+# and a signal handler re-emits the best one at kill time — a driver
+# timeout can no longer produce parsed:null (VERDICT r4 item 1).
+# ---------------------------------------------------------------------------
+
+_BEST = None              # last emitted record (re-emitted on signals)
+_COMPILED_CHECK = "not run"
+_T0 = None                # parent start time
+
+
+def _elapsed():
+    return time.time() - _T0
+
+
+def _remaining():
+    """Seconds left in the wall budget (a large finite number when the
+    budget is disabled, so arithmetic and comparisons stay simple)."""
+    return 1e9 if WALL_BUDGET_S <= 0 else WALL_BUDGET_S - _elapsed()
+
+
+def emit(rec):
+    """Print the current headline record as one JSON line (flushed).
+    Called after every completed stage; the driver parses the LAST
+    parseable line, so later emissions upgrade earlier ones."""
+    global _BEST
+    rec = dict(rec)
+    rec["compiled_check"] = _COMPILED_CHECK
+    rec["elapsed_s"] = round(_elapsed(), 1)
+    _BEST = rec
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def _bootstrap_record(reason):
+    """A parseable no-measurement record (value 0 = no claim) carrying
+    WHY there's no number yet — the floor every run stands on from
+    minute one."""
+    return {"metric": "multitenant_1bit_decode_speedup_vs_naive",
+            "value": 0.0,
+            "unit": f"ERROR: {reason} (no measurement)",
+            "vs_baseline": 0.0,
+            "error": reason}
+
+
+def _shutdown(signum, _frame):
+    """SIGTERM/SIGINT/SIGALRM in the PARENT: stop the current child
+    (its exact PID only — SIGTERM first so it unwinds and exits
+    cleanly, which is what actually frees its HBM), re-emit the
+    best-so-far record as the true last line of output, exit 0."""
+    log(f"parent: signal {signum} — re-emitting best-so-far and exiting")
+    child = _CHILD
+    if child is not None and child.poll() is None:
+        child.terminate()
+        try:
+            child.wait(20)
+        except Exception:  # noqa: BLE001 — escalate on a wedged child
+            child.kill()
+    if _BEST is not None:
+        print(json.dumps(_BEST), flush=True)
+    else:
+        rec = _bootstrap_record(
+            f"killed by signal {signum} before any rung completed")
+        rec["compiled_check"] = _COMPILED_CHECK
+        print(json.dumps(rec), flush=True)
+    os._exit(0)
+
+
+def _run_rung(li, ti, extra_env=None):
+    """The three decode phases + W8 plausibility recheck at one rung.
+    Returns (recs, failed) where failed is None on success."""
+    recs = {}
+    for phase in ("ours", "naive_bf16", "naive_w8"):
+        rc, rec = run_phase(phase, li, ti, extra_env=extra_env,
+                            timeout_s=_remaining())
+        if rc != 0 or rec is None or "error" in (rec or {}):
+            return recs, (phase, rc, (rec or {}).get("error", "no record"))
+        recs[phase] = rec
+    recs = _recheck_w8(
+        recs, "naive_w8", "naive_bf16",
+        lambda: run_phase("naive_w8", li, ti, extra_env=extra_env,
+                          timeout_s=_remaining()))
+    return recs, None
+
+
+def _attach_engine(out, li, ti, extra_env=None):
+    """Engine-level tok/s in its own subprocess (see phase_ours_engine);
+    a failure records engine_error instead of costing the rung."""
+    rc, rec = run_phase("ours_engine", li, ti, extra_env=extra_env,
+                        timeout_s=min(_remaining(), 1200))
+    if rc == 0 and rec and "error" not in rec:
+        for k in ("engine_tok_s", "engine_tok_s_best", "engine_trials"):
+            out[k] = rec[k]
+        out["engine_vs_raw_chain"] = round(
+            out["engine_tok_s"] / out["tok_s_per_chip"], 3)
+        out.pop("engine_error", None)
+    else:
+        out["engine_error"] = (f"rc={rc}: "
+                               f"{(rec or {}).get('error', 'no record')}")
+
+
 def main():
+    global _T0, _COMPILED_CHECK
     if os.environ.get("BENCH_PHASE"):
         return child_main()
 
     # PARENT: never touches the device (a phase child must find the
-    # pool as free as possible). Rung ladder: CAMP on the full north-star
-    # rung first (BENCH_TOP_TRIES attempts with backoff — r03 degraded to
-    # 16L only because the ladder fell through on the first pool-busy
-    # failure), then shed tenants (T is the headline axis), then halve
-    # layers with tenants restored.
+    # pool as free as possible).
+    _T0 = time.time()
+    signal.signal(signal.SIGTERM, _shutdown)
+    signal.signal(signal.SIGINT, _shutdown)
+    if WALL_BUDGET_S > 0:
+        signal.signal(signal.SIGALRM, _shutdown)
+        signal.alarm(WALL_BUDGET_S)
     L0, T0 = NUM_LAYERS, TENANTS
-    top_tries = int(os.environ.get("BENCH_TOP_TRIES", "3"))
-    candidates = [(L0, T0)] * top_tries
-    candidates += [(L0, t) for t in (4, 2) if t < T0]
-    if L0 >= 16:
-        candidates += [(L0 // 2, T0), (L0 // 2, 2), (L0 // 4, T0),
-                       (L0 // 4, 2)]
-    outer_tries = int(os.environ.get("BENCH_OUTER_TRIES", "2"))
-    backoff_s = int(os.environ.get("BENCH_OUTER_BACKOFF_S", "600"))
-    rung_backoff_s = int(os.environ.get("BENCH_RUNG_BACKOFF_S", "240"))
-    compiled_check = "not run"
+
+    # Stage 0: compiled-kernel numerics check (~100 MB world — safe on
+    # a crowded pool). Its status lands in EVERY emitted record.
     if os.environ.get("BENCH_COMPILED_CHECK", "1") == "1":
-        log("=== compiled_check pre-phase ===")
-        rc, rec = run_phase("compiled_check", L0, T0)
-        compiled_check = ("ok" if rc == 0 and rec
-                          and rec.get("status") == "ok"
-                          else f"FAILED rc={rc}: "
-                               f"{(rec or {}).get('error', 'no record')}")
-        log(f"  compiled_check: {compiled_check}")
-    last_err = "no rung completed"
-    for outer in range(outer_tries):
-        if outer:
-            log(f"outer attempt {outer+1}/{outer_tries} after "
-                f"{backoff_s}s quiet backoff ...")
-        for ci, (li, ti) in enumerate(candidates):
-            log(f"=== rung {li}L/T{ti} ===")
-            recs = {}
-            failed = None
-            for phase in ("ours", "naive_bf16", "naive_w8"):
-                rc, rec = run_phase(phase, li, ti)
-                if rc != 0 or rec is None or "error" in (rec or {}):
-                    failed = (phase, rc,
-                              (rec or {}).get("error", "no record"))
-                    break
-                recs[phase] = rec
-            if not failed:
-                recs = _recheck_w8(
-                    recs, "naive_w8", "naive_bf16",
-                    lambda li=li, ti=ti: run_phase("naive_w8", li, ti))
-                if RUN_ENGINE:
-                    # Engine tok/s in its own subprocess (see
-                    # phase_ours_engine); a failure here records an
-                    # error key instead of costing the rung.
-                    rc, rec = run_phase("ours_engine", li, ti)
-                    if rc == 0 and rec and "error" not in rec:
-                        recs["ours"]["engine_tok_s"] = rec["engine_tok_s"]
-                    else:
-                        recs["ours"]["engine_error"] = (
-                            f"rc={rc}: "
-                            f"{(rec or {}).get('error', 'no record')}")
+        log("=== stage 0: compiled_check ===")
+        rc, rec = run_phase("compiled_check", L0, T0,
+                            timeout_s=min(900, max(240,
+                                                   _remaining() * 0.2)))
+        _COMPILED_CHECK = ("ok" if rc == 0 and rec
+                           and rec.get("status") == "ok"
+                           else f"FAILED rc={rc}: "
+                                f"{(rec or {}).get('error', 'no record')}")
+        log(f"  compiled_check: {_COMPILED_CHECK}")
+    emit(_bootstrap_record("no rung completed yet"))
+
+    # Stage 1: the guaranteed-fit safe rung — land a real number FAST
+    # (r04 lost everything camping on 32L first). Short slab sieges so
+    # a squatted pool degrades at minutes-not-hours cadence; explicit
+    # BENCH_SLAB_TRIES wins over the stage defaults.
+    Ls = min(SAFE_LAYERS, L0)
+    safe_rungs = [(Ls, T0)] + [(Ls, t) for t in (4, 2) if t < T0]
+    if Ls >= 16:
+        safe_rungs += [(Ls // 2, T0), (Ls // 2, 2)]
+    safe_env = ({} if "BENCH_SLAB_TRIES" in os.environ
+                else {"BENCH_SLAB_TRIES": "8"})
+    out = None
+    srung = None
+    last_err = "no safe rung completed"
+    while out is None and _remaining() > 240:
+        for li, ti in safe_rungs:
+            if _remaining() <= 240:
+                break
+            log(f"=== safe rung {li}L/T{ti} "
+                f"({_remaining():.0f}s left) ===")
+            recs, failed = _run_rung(li, ti, extra_env=safe_env)
             if failed:
                 last_err = (f"rung {li}L/T{ti} phase {failed[0]} "
                             f"rc={failed[1]}: {failed[2]}")
-                nxt = candidates[ci + 1] if ci + 1 < len(candidates) \
-                    else None
-                retrying = nxt == (li, ti)
-                log(f"  {last_err} — "
-                    + (f"retrying same rung in {rung_backoff_s}s"
-                       if retrying else "degrading"))
-                if retrying:
-                    time.sleep(rung_backoff_s)
+                log(f"  {last_err} — degrading")
                 continue
             out = combine(recs, li, ti,
                           backend=recs["ours"].get("backend", "tpu"))
@@ -1031,14 +1213,63 @@ def main():
             if (li, ti) != (L0, T0):
                 out["degraded_from_layers"] = L0
                 out["degraded_from_tenants"] = T0
-            out["compiled_check"] = compiled_check
-            if os.environ.get("BENCH_MIX", "1") == "1":
-                run_mixtral(out)
-            print(json.dumps(out))
-            return
-        if outer < outer_tries - 1:
-            time.sleep(backoff_s)
-    raise RuntimeError(f"all rungs failed; last: {last_err}")
+            srung = (li, ti)
+            break
+        if out is None and _remaining() > 360:
+            log(f"safe sweep failed ({last_err}); quiet backoff ...")
+            time.sleep(120)
+    if out is None:
+        emit(_bootstrap_record(
+            f"all safe rungs failed within wall budget; last: {last_err}"))
+        return
+    emit(out)
+
+    # Stage 2: engine row at the safe rung (all trials + median).
+    if RUN_ENGINE:
+        log(f"=== engine row at {srung[0]}L/T{srung[1]} ===")
+        _attach_engine(out, *srung, extra_env=safe_env)
+        emit(out)
+
+    # Stage 3: camp on the north-star rung with the remaining budget
+    # (minus the Mixtral reserve). Long slab sieges — the ratchet banks
+    # pool-competitor dips; each failed attempt backs off briefly.
+    up_env = ({} if "BENCH_SLAB_TRIES" in os.environ
+              else {"BENCH_SLAB_TRIES": "40"})
+    attempt = 0
+    while (srung != (L0, T0)
+           and _remaining() - MIX_RESERVE_S > UPGRADE_MIN_S):
+        attempt += 1
+        log(f"=== north-star upgrade attempt {attempt}: {L0}L/T{T0} "
+            f"({_remaining():.0f}s left, {MIX_RESERVE_S}s reserved) ===")
+        recs, failed = _run_rung(L0, T0, extra_env=up_env)
+        if failed:
+            log(f"  upgrade attempt {attempt} failed at {failed[0]} "
+                f"rc={failed[1]}: {failed[2]}")
+            if _remaining() - MIX_RESERVE_S > UPGRADE_MIN_S + 120:
+                time.sleep(120)
+            continue
+        up = combine(recs, L0, T0,
+                     backend=recs["ours"].get("backend", "tpu"))
+        up["num_layers"], up["tenants"] = L0, T0
+        # Keep the safe capture as provenance inside the upgrade.
+        up["safe_rung"] = {k: out[k] for k in
+                           ("num_layers", "tenants", "value",
+                            "tok_s_per_chip", "engine_tok_s")
+                           if k in out}
+        out = up
+        srung = (L0, T0)
+        emit(out)
+        if RUN_ENGINE:
+            log(f"=== engine row at {L0}L/T{T0} ===")
+            _attach_engine(out, L0, T0, extra_env=up_env)
+            emit(out)
+
+    # Stage 4: Mixtral ladder (E=8 first) with whatever budget is left.
+    if os.environ.get("BENCH_MIX", "1") == "1":
+        deadline = (None if WALL_BUDGET_S <= 0
+                    else _T0 + WALL_BUDGET_S - 60)
+        run_mixtral(out, deadline=deadline)
+        emit(out)
 
 
 if __name__ == "__main__":

@@ -81,10 +81,10 @@ def child_main(tenants):
         params = {
             "layers": layers,
             "final_norm": jnp.ones((T, D), jnp.bfloat16),
-            "embed": (jax.random.normal(next(keys), (V, D), jnp.bfloat16)
-                      * 0.02),
-            "lm_head": (jax.random.normal(next(keys), (D, V),
-                                          jnp.bfloat16) * 0.02),
+            # bench.rand_weight: ONE fused ratcheting slab write (no
+            # f32 staging next to the tightest-fit T=10 world).
+            "embed": bench.rand_weight(next(keys), (V, D)),
+            "lm_head": bench.rand_weight(next(keys), (D, V)),
         }
         deltas["embed"] = BinaryDelta(
             packed=rand_bits(next(keys), (T, D // 32, V)),
