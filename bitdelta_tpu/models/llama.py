@@ -143,12 +143,17 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return out.astype(x.dtype)
 
 
-def _base_matmul(x: jax.Array, w, compute_dtype) -> jax.Array:
+def _base_matmul(x: jax.Array, w, compute_dtype, kernel: str = "xla"
+                 ) -> jax.Array:
     """``x @ W_base`` in f32 accumulation. ``w`` is a dense matrix, an
     Int8Weight (W8 serving: int8 contraction, per-column scale on the
     accumulator — half the base HBM traffic/footprint) or an Int4Weight
     (W4 density mode: grouped-RTN nibbles, per-group contraction;
-    research/quantized_base.py)."""
+    research/quantized_base.py). ``kernel="pallas"`` routes decode-shaped
+    Int4Weight matmuls through the Pallas W4 kernel (in-VMEM nibble
+    unpack + group-scaled partial dots — the XLA grouped einsum
+    materializes the unpacked operand, ~58 ms of the 32L/T8 density
+    step; ops/pallas_int4.py)."""
     from ..research.quantized_base import Int4Weight, Int8Weight, int4_matmul
 
     if isinstance(w, Int8Weight):
@@ -156,6 +161,12 @@ def _base_matmul(x: jax.Array, w, compute_dtype) -> jax.Array:
                        preferred_element_type=jnp.float32)
         return y * w.scale[..., None, :].astype(jnp.float32)
     if isinstance(w, Int4Weight):
+        if (kernel == "pallas" and x.ndim == 2 and x.shape[0] <= 64
+                and x.shape[-1] % 128 == 0):
+            from ..ops.pallas_int4 import w4_matmul_pallas
+
+            return w4_matmul_pallas(x.astype(compute_dtype), w.packed,
+                                    w.scale, out_dtype=jnp.float32)
         return int4_matmul(x, w, compute_dtype, out_dtype=jnp.float32)
     return jnp.matmul(x.astype(compute_dtype), w.astype(compute_dtype),
                       preferred_element_type=jnp.float32)
@@ -187,7 +198,7 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
             colsum = delta.colsum
             if colsum.ndim == delta.packed_pairs.ndim:
                 colsum = colsum[..., 0, :]
-            y = _base_matmul(x[:, 0], w, compute_dtype)
+            y = _base_matmul(x[:, 0], w, compute_dtype, kernel=kernel)
             yd = tenant_delta_matmul_pair_pallas(
                 x[:, 0].astype(compute_dtype), delta.packed_pairs,
                 colsum, delta.scale, tenant_ids,
@@ -204,7 +215,7 @@ def _proj(x: jax.Array, w: jax.Array, delta: Optional[BinaryDelta],
         # VPU bit-plane delta kernel (ops/pallas_binary_gemm.py notes).
         from ..ops.pallas_binary_gemm import tenant_delta_matmul_pallas
 
-        y = _base_matmul(x[:, 0], w, compute_dtype)
+        y = _base_matmul(x[:, 0], w, compute_dtype, kernel=kernel)
         yd = tenant_delta_matmul_pallas(
             x[:, 0].astype(compute_dtype), delta.packed, delta.scale,
             tenant_ids, out_dtype=jnp.float32)

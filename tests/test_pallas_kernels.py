@@ -417,3 +417,70 @@ def test_to_pair_layout_rebuilds_full_k_colsum_under_tp():
                                       np.asarray(w.packed_pairs))
         np.testing.assert_allclose(np.asarray(g.colsum),
                                    np.asarray(w.colsum))
+
+
+# ---------------------------------------------------------------------------
+# W4 base-matmul kernel (ops/pallas_int4.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("m,k,n", [(8, 256, 256), (1, 128, 128),
+                                   (6, 512, 384), (8, 384, 128)])
+def test_w4_matmul_pallas_matches_int4_matmul(m, k, n):
+    from bitdelta_tpu.ops.pallas_int4 import w4_matmul_pallas
+    from bitdelta_tpu.research.quantized_base import (dequantize_int4,
+                                                      int4_matmul,
+                                                      quantize_int4)
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+    q = quantize_int4(w)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    got = np.asarray(w4_matmul_pallas(x, q.packed, q.scale,
+                                      interpret=INTERP,
+                                      out_dtype=jnp.float32))
+    want_xla = np.asarray(int4_matmul(x, q, compute_dtype=jnp.float32))
+    want_dense = np.asarray(x) @ np.asarray(dequantize_int4(q, jnp.float32))
+    np.testing.assert_allclose(got, want_xla, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want_dense, rtol=1e-4, atol=1e-4)
+
+
+def test_w4_matmul_pallas_bf16_inputs():
+    from bitdelta_tpu.ops.pallas_int4 import w4_matmul_pallas
+    from bitdelta_tpu.research.quantized_base import (dequantize_int4,
+                                                      quantize_int4)
+
+    rng = np.random.default_rng(3)
+    k, n = 256, 256
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+    q = quantize_int4(w)
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.bfloat16)
+    got = np.asarray(w4_matmul_pallas(x, q.packed, q.scale,
+                                      interpret=INTERP,
+                                      out_dtype=jnp.float32))
+    # CPU's dot thunk lacks bf16 x bf16 -> f32, so the reference is the
+    # f32 dense fusion (bf16 rounding of x bounds the tolerance).
+    want = (np.asarray(x.astype(jnp.float32))
+            @ np.asarray(dequantize_int4(q, jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_base_matmul_pallas_dispatches_w4_kernel():
+    """llama._base_matmul(kernel='pallas') on a decode-shaped Int4Weight
+    must route through the Pallas kernel and agree with the XLA einsum
+    (the serving engine reaches it via the pair-delta decode branch)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bitdelta_tpu.models.llama import _base_matmul
+    from bitdelta_tpu.research.quantized_base import quantize_int4
+
+    rng = np.random.default_rng(4)
+    k, n = 256, 128
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, jnp.float32)
+    q = quantize_int4(w)
+    x = jnp.asarray(rng.standard_normal((8, k)), jnp.float32)
+    want = np.asarray(_base_matmul(x, q, jnp.float32, kernel="xla"))
+    ctx = (pltpu.force_tpu_interpret_mode() if INTERP
+           else __import__("contextlib").nullcontext())
+    with ctx:
+        got = np.asarray(_base_matmul(x, q, jnp.float32, kernel="pallas"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
