@@ -103,6 +103,11 @@ class SlotState:
     request: Optional[Request] = None
     generated: List[int] = dataclasses.field(default_factory=list)
     prompt_len: int = 0
+    # Batched admission defers the first-token readback (the token stays
+    # on device and feeds the next decode chunk directly); while True,
+    # ``generated`` is one shorter than the tokens actually produced and
+    # finish checks are deferred to the flush (_flush_pending_firsts).
+    pending_first: bool = False
     # Bumped at every admission: an in-flight chunk ticket only delivers
     # tokens to the request it was dispatched for (a slot freed and
     # re-admitted between dispatch and consume must not leak the old
@@ -269,6 +274,12 @@ class Engine:
         self._dev_tokens = None
         self._dev_live = None
         self._dev_rem = None
+        # Batched admission's sampled first tokens, still ON DEVICE: the
+        # next chunk dispatch consumes them device-to-device, and the
+        # host readback happens at the next consume/admission —
+        # OVERLAPPED with chunk compute instead of serializing the
+        # admission with a 30-140 ms relay round-trip.
+        self._pending_firsts = None
         self._inflight: List[_ChunkTicket] = []
         self._step_mutex = threading.Lock()  # serializes dispatch/consume
         # Shared by every _CompileOnce wrapper in this engine: first
@@ -846,6 +857,9 @@ class Engine:
             top_ks[slot] = req.top_k
             top_ps[slot] = req.top_p
         fn = self._prefill_batch_jit(bucket)
+        # At most one deferred-firsts vector at a time: resolve any
+        # previous burst's before producing a new one.
+        self._flush_pending_firsts()
         with self._lock:
             self._rng, sub = jax.random.split(self._rng)
         first_dev, rowcache = fn(
@@ -853,7 +867,11 @@ class Engine:
             jnp.asarray(lengths), jnp.asarray(tids),
             self.stack.vocab_sizes, jnp.asarray(temps),
             jnp.asarray(top_ks), jnp.asarray(top_ps), sub)
-        firsts = np.asarray(first_dev)         # the ONE host sync
+        # NO host sync here: the sampled first tokens stay on device
+        # (self._pending_firsts) and feed the next chunk dispatch
+        # directly; _flush_pending_firsts reads them back later,
+        # overlapped with that chunk's device compute. Admission cost
+        # drops from (prefill + readback RTT) to dispatch-only.
         with self._lock:
             mask = np.zeros((B,), bool)
             for slot, req in batch:
@@ -869,13 +887,12 @@ class Engine:
             for slot, req in batch:
                 if not mask[slot]:
                     continue
-                first = int(firsts[slot])
-                req.first_token = first
                 st = self.slots[slot]
                 st.active = True
                 st.tenant_id = req.tenant_id
                 st.request = req
-                st.generated = [first]
+                st.generated = []
+                st.pending_first = True
                 st.prompt_len = len(req.prompt_ids)
                 st.epoch += 1
                 self.tenant_ids[slot] = req.tenant_id
@@ -885,8 +902,49 @@ class Engine:
                 self._stop_ids[slot] = -1
                 ids_dev = list(req.stop_token_ids)[:DEVICE_STOPS]
                 self._stop_ids[slot, :len(ids_dev)] = ids_dev
-                self._last_tokens[slot] = first
                 self._dirty[slot] = True
+            self._pending_firsts = first_dev
+
+    def _flush_pending_firsts(self) -> List[StepEvent]:
+        """Resolve a deferred batched-admission first-token vector: ONE
+        host readback (outside the lock — by now it overlaps in-flight
+        chunk compute), fill each pending slot's ``generated[0]`` /
+        ``first_token``, and run the deferred finish checks. A first
+        token that already hits a stop/length bumps the slot epoch so
+        any speculated in-flight chunk tokens for that lane are
+        discarded at consume (the lane burned at most one chunk of
+        device steps — the rare-case price of not syncing admissions).
+        """
+        dev = self._pending_firsts
+        if dev is None:
+            return []
+        firsts = np.asarray(dev)               # host sync, no lock held
+        events: List[StepEvent] = []
+        with self._lock:
+            if self._pending_firsts is not dev:
+                return []                      # concurrent flush won
+            self._pending_firsts = None
+            for i, st in enumerate(self.slots):
+                if not st.pending_first:
+                    continue
+                st.pending_first = False
+                if not st.active or st.request is None:
+                    continue                   # cancelled while pending
+                first = int(firsts[i])
+                st.request.first_token = first
+                st.generated.insert(0, first)
+                if len(st.generated) == 1:
+                    self._last_tokens[i] = first
+                reason = self._finish_checks(i)
+                if reason is not None:
+                    st.active = False
+                    st.epoch += 1              # drop speculated tokens
+                    self._dirty[i] = True
+                    events.append(StepEvent(
+                        slot=i, request_id=st.request.request_id,
+                        token=st.generated[-1], finished=True,
+                        finish_reason=reason, new_token=False))
+        return events
 
     def _pick_slot(self, free: List[int], tenant_id: int) -> int:
         """Prefer a free slot adjacent to an active slot of the same
@@ -957,6 +1015,11 @@ class Engine:
 
     def _finish_checks(self, slot: int) -> Optional[str]:
         st = self.slots[slot]
+        if st.pending_first:
+            # The first token is still on device — every check involves
+            # it (stop membership, counts), so all checks defer to
+            # _flush_pending_firsts.
+            return None
         req = st.request
         tok = st.generated[-1]
         if tok in req.stop_token_ids:
@@ -972,9 +1035,10 @@ class Engine:
         max_new_tokens budget AND its cache-capacity room (the same two
         limits _finish_checks applies host-side). The device chunk
         parks the lane when this hits zero, so per-lane caps never
-        shrink the chunk for the rest of the batch."""
+        shrink the chunk for the rest of the batch. A deferred first
+        token counts as generated even though its readback is pending."""
         st = self.slots[slot]
-        gen = len(st.generated)
+        gen = len(st.generated) + (1 if st.pending_first else 0)
         return min(st.request.max_new_tokens - gen,
                    (self.max_seq - 1) - st.prompt_len - gen)
 
@@ -1020,12 +1084,19 @@ class Engine:
                 carry_tok = self._dev_tokens
                 carry_live = self._dev_live
                 carry_rem = self._dev_rem
+            set_tok = jnp.asarray(self._last_tokens)
+            if self._pending_firsts is not None:
+                # Deferred batched-admission firsts feed the chunk
+                # DEVICE-TO-DEVICE (no readback on the dispatch path).
+                pend = np.asarray([s.pending_first for s in self.slots],
+                                  bool)
+                set_tok = jnp.where(jnp.asarray(pend),
+                                    self._pending_firsts, set_tok)
             toks, self._dev_tokens, self._dev_live, self._dev_rem, \
                 self.cache = fn(
                     self.stack.params, self.stack.deltas, self.cache,
                     carry_tok, carry_live, carry_rem,
-                    jnp.asarray(set_mask),
-                    jnp.asarray(self._last_tokens),
+                    jnp.asarray(set_mask), set_tok,
                     jnp.asarray(active), jnp.asarray(set_rem),
                     jnp.asarray(self.tenant_ids),
                     jnp.asarray(self.temps), jnp.asarray(self.top_ks),
@@ -1043,10 +1114,14 @@ class Engine:
         generation order (a slot may emit several tokens; completion
         info rides the last one)."""
         with self.timer.step(tokens=0) as tick:
+            # Resolve deferred admission firsts FIRST: their tokens
+            # precede this chunk's in every pending lane's stream, and
+            # a first-token stop/length bumps the epoch so this ticket
+            # is skipped for that lane (no desync assertion).
+            events: List[StepEvent] = list(self._flush_pending_firsts())
             toks = np.asarray(ticket.toks)  # (k, B) — ONE host sync,
             # deliberately OUTSIDE the engine lock: admissions and
             # cancels proceed while the device chunk drains.
-            events: List[StepEvent] = []
             with self._lock:
                 for i in np.nonzero(ticket.active)[0]:
                     i = int(i)

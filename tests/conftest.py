@@ -23,36 +23,25 @@ import pytest  # noqa: E402
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
-# Tests measured >= 6 s on the 8-fake-device CPU suite (full run
-# 2026-08-21, 212 tests / 17:23 total). The fast lane
-# ``pytest -m "not slow"`` keeps every subsystem covered (each slow
-# integration test has lighter siblings in the same file) and finishes
-# in well under 5 minutes; CI/pre-commit should run the full suite.
-# Regenerate after big suite changes with:
+# Tests measured >= 5 s on the 8-fake-device CPU suite (full run
+# 2026-08-21 round 5, 254 tests / 21:25 total; threshold lowered from
+# 6 s to keep the fast lane under its promise as the suite grows). The
+# fast lane ``pytest -m "not slow"`` keeps every subsystem covered
+# (each slow integration test has lighter siblings in the same file)
+# and finishes in under 5 minutes; CI/pre-commit should run the full
+# suite. Regenerate after big suite changes with:
 #   pytest tests/ -q --durations=0 2>/dev/null \
-#     | awk '$2=="call" && $1+0>=6 {split($3,a,"["); print a[1]}' | sort -u
+#     | awk '$2=="call" && $1+0>=5 {split($3,a,"["); print a[1]}' | sort -u
 _SLOW = {
-    "tests/test_cli.py::test_serve_cli_mesh_smoke",
-    "tests/test_flash_decode.py::test_decode_step_pallas_int8_kv_matches_xla_int8_kv",
-    "tests/test_mixtral.py::test_mixtral_routed_single_tenant_decode",
-    "tests/test_mixtral.py::test_mixtral_w8_base_serving_matches_dequantized_dense",
-    "tests/test_model.py::test_decode_matches_full_forward",
-    "tests/test_research.py::test_fuse_variant_model_mixtral_layout",
-    "tests/test_research.py::test_w4_plus_w1_ppl_beats_w4_alone",
-    "tests/test_serving.py::test_chunked_decode_near_cache_cap",
-    "tests/test_serving.py::test_engine_int8_kv_cache_generates_like_bf16",
-    "tests/test_serving.py::test_temperature_sampling_reproducible_seed",
-    "tests/test_serving_mesh.py::test_mesh_engine_weights_partitioned",
+    "tests/test_bench_helpers.py::test_make_chained_matches_eager_scan",
     "tests/test_cli.py::test_mixtral_train_serve_eval_pipeline",
-    "tests/test_cli.py::test_train_cli_end_to_end",
+    "tests/test_cli.py::test_serve_cli_mesh_smoke",
     "tests/test_cli.py::test_train_serve_eval_with_compressed_embeddings",
     "tests/test_cli.py::test_train_serve_eval_with_quantized_base",
     "tests/test_compress.py::test_compress_embeddings_mode",
     "tests/test_compress.py::test_compress_roundtrip_forward",
-    "tests/test_distill_ppl.py::test_distill_checkpoint_resume_matches_uninterrupted",
     "tests/test_distill_ppl.py::test_distillation_pallas_kernel_matches_xla",
     "tests/test_distill_ppl.py::test_distillation_reduces_logit_mse",
-    "tests/test_distill_ppl.py::test_ppl_delta_path_matches_fused_path",
     "tests/test_flash_decode.py::test_decode_step_pallas_uses_flash_path",
     "tests/test_flash_prefill.py::test_grads_match_xla_attention",
     "tests/test_mixtral.py::test_mixtral_compressed_embeddings_serving",
@@ -62,29 +51,40 @@ _SLOW = {
     "tests/test_mixtral.py::test_mixtral_pallas_engine_matches_xla",
     "tests/test_mixtral.py::test_mixtral_routed_expert_deltas_match_dense_fusion",
     "tests/test_mixtral.py::test_mixtral_routed_pallas_pair_matches_xla",
-    "tests/test_mixtral.py::test_mixtral_tp_pallas_shardmap_matches_single_device",
+    "tests/test_mixtral.py::test_mixtral_routed_single_tenant_decode",
     "tests/test_mixtral.py::test_mixtral_sharded_forward_matches_unsharded",
     "tests/test_mixtral.py::test_mixtral_sliding_window_flash_decode_matches_xla",
+    "tests/test_mixtral.py::test_mixtral_tp_pallas_shardmap_matches_single_device",
+    "tests/test_mixtral.py::test_mixtral_w8_base_serving_matches_dequantized_dense",
     "tests/test_model.py::test_decode_with_unequal_lengths",
     "tests/test_model.py::test_qwen2_compress_and_decode",
     "tests/test_model.py::test_sliding_window_decode_matches_full_forward",
     "tests/test_multihost.py::test_two_process_distill_over_global_mesh",
     "tests/test_packing.py::test_unpair_roundtrip",
+    "tests/test_pallas_kernels.py::test_fused_base_pair_kernel_matches_serial",
     "tests/test_pallas_kernels.py::test_model_pallas_dispatch_interpret_mode",
     "tests/test_pallas_kernels.py::test_model_pallas_dispatch_paired_deltas",
     "tests/test_pallas_kernels.py::test_to_pair_layout_rebuilds_full_k_colsum_under_tp",
+    "tests/test_quant_import.py::test_load_gptq_checkpoint_native_and_serve",
     "tests/test_research.py::test_fuse_variant_model_ablation_ladder",
+    "tests/test_research.py::test_fuse_variant_model_mixtral_layout",
     "tests/test_research.py::test_moe_ffn_routing_matches_dense_experts",
     "tests/test_research.py::test_w4_base_mesh_serving_matches_single_device",
     "tests/test_research.py::test_w4_base_serving_matches_dequantized_dense",
     "tests/test_research.py::test_w4_pallas_mesh_matches_single_device",
     "tests/test_research.py::test_w8_base_serving_matches_dequantized_dense",
+    "tests/test_seq_sharding.py::test_sequence_sharded_forward_matches_unsharded",
+    "tests/test_seq_sharding.py::test_sequence_sharded_ppl_matches",
     "tests/test_server.py::test_engine_warmup_compiles_buckets",
     "tests/test_serving.py::test_chunked_decode_matches_stepwise",
+    "tests/test_serving.py::test_chunked_decode_near_cache_cap",
     "tests/test_serving.py::test_chunked_decode_stop_parks_lane_on_device",
-    "tests/test_serving.py::test_device_stop_overflow_still_stops",
     "tests/test_serving.py::test_chunked_decode_stop_tokens_truncate",
     "tests/test_serving.py::test_continuous_batching_admission",
+    "tests/test_serving.py::test_deferred_first_token_max_new_tokens_one",
+    "tests/test_serving.py::test_deferred_first_token_reuses_slot_after_flush_finish",
+    "tests/test_serving.py::test_deferred_first_token_stop_discards_speculation",
+    "tests/test_serving.py::test_engine_int8_kv_cache_generates_like_bf16",
     "tests/test_serving.py::test_engine_int8_kv_mesh_matches_single_device",
     "tests/test_serving.py::test_engine_matches_manual_generation",
     "tests/test_serving.py::test_engine_with_attention_bias_tenants",
@@ -94,7 +94,7 @@ _SLOW = {
     "tests/test_serving_mesh.py::test_mesh_engine_pallas_shardmap_matches_single_device",
     "tests/test_sharding.py::test_sharded_decode_matches_single_device",
     "tests/test_sharding.py::test_sharded_distill_step_matches_unsharded",
-    "tests/test_vocab_growth.py::test_grown_vocab_logit_masking_under_sampling",
+    "tests/test_sharding.py::test_sharded_forward_matches_single_device",
     "tests/test_vocab_growth.py::test_grown_vocab_tenant_serves_next_to_normal_tenant",
     "tests/test_vocab_growth.py::test_multilingual_ppl_compressed_path_and_finetune_gain",
 }

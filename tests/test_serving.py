@@ -443,3 +443,54 @@ def test_pump_matches_step_with_midstream_admission():
     assert set(got) == set(want)
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_deferred_first_token_max_new_tokens_one():
+    """Batched admission defers the first-token readback; a burst of
+    max_new_tokens=1 requests must finish entirely at the flush (the
+    lanes park on device with rem=0) and return exactly the prefill
+    token each."""
+    cfg, base, tenants, stack = _make_world()
+    eng = Engine(cfg, stack, max_slots=4, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla", decode_chunk=4)
+    prompt = [3, 14, 15]
+    outs = eng.generate([Request(prompt_ids=prompt, tenant_id=t,
+                                 max_new_tokens=1) for t in range(3)])
+    for t, out in enumerate(outs):
+        manual = _manual_greedy(cfg, base, tenants[t], prompt, 1)
+        assert out == manual
+
+
+def test_deferred_first_token_stop_discards_speculation():
+    """A first token that IS a stop token finishes the request at the
+    flush; the speculated chunk tokens for that lane must be discarded
+    (epoch bump), and other lanes must be unaffected."""
+    cfg, base, tenants, stack = _make_world()
+    prompt = [5, 6, 7]
+    first = _manual_greedy(cfg, base, tenants[0], prompt, 1)[0]
+    eng = Engine(cfg, stack, max_slots=4, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla", decode_chunk=4)
+    outs = eng.generate([
+        Request(prompt_ids=prompt, tenant_id=0, max_new_tokens=8,
+                stop_token_ids=(first,)),
+        Request(prompt_ids=prompt, tenant_id=1, max_new_tokens=6),
+    ])
+    assert outs[0] == []  # stop token itself is dropped
+    assert outs[1] == _manual_greedy(cfg, base, tenants[1], prompt, 6)
+
+
+def test_deferred_first_token_reuses_slot_after_flush_finish():
+    """A slot freed by a flush-time finish must be reusable by a
+    follow-up admission with clean state (no leaked speculation)."""
+    cfg, base, tenants, stack = _make_world()
+    prompt = [5, 6, 7]
+    first = _manual_greedy(cfg, base, tenants[0], prompt, 1)[0]
+    eng = Engine(cfg, stack, max_slots=1, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla", decode_chunk=4)
+    outs = eng.generate([
+        Request(prompt_ids=prompt, tenant_id=0, max_new_tokens=8,
+                stop_token_ids=(first,)),
+        Request(prompt_ids=prompt, tenant_id=2, max_new_tokens=5),
+    ])
+    assert outs[0] == []
+    assert outs[1] == _manual_greedy(cfg, base, tenants[2], prompt, 5)
