@@ -83,7 +83,15 @@ def w4_matmul_pallas(x: jax.Array, packed: jax.Array, scale: jax.Array,
     assert scale.shape == (ngroups, n), (scale.shape, (ngroups, n))
     out_dtype = out_dtype or x.dtype
 
-    bk = _pick_block(kdim, (512, 256, 128))
+    # Mosaic block rule: the scale block's sublane dim (bk//INT4_GROUP)
+    # must be divisible by 8 OR equal the whole array dim — so bk is
+    # 1024+ (8 groups/block) at real shapes, or the whole K otherwise.
+    for c in (1024, 2048, 4096):
+        if kdim % c == 0:
+            bk = c
+            break
+    else:
+        bk = kdim
     bn = _pick_block(n, (512, 256, 128, 64, 32, 16, 8))
     grid = (n // bn, kdim // bk)
 

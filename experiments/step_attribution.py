@@ -91,22 +91,25 @@ def main():
     # --- standalone component chains (pure rates, no overlap) ---
     floor = bench._FLOOR
 
-    def chain_scalar(fn, x0):
+    def chain_scalar(fn, x0, *ops):
+        """Weights/deltas enter as jit ARGUMENTS (``*ops``), never as
+        closure captures — captured multi-GB constants make the remote
+        compile effectively never finish (BENCHNOTES, distillation)."""
         @jax.jit
-        def run(x):
+        def run(x, *ops):
             def body(x, _):
-                y = fn(x)
+                y = fn(x, *ops)
                 # Row-scalar feedback keeps a real data dependency while
                 # tolerating any output width.
                 return x + (jnp.sum(y, axis=-1, keepdims=True)
                             * jnp.float32(1e-12)).astype(x.dtype), ()
             x, _ = jax.lax.scan(body, x, None, length=STEPS)
             return x.sum()
-        float(run(x0))
+        float(run(x0, *ops))
         ts = []
         for _ in range(TRIALS):
             t0 = time.perf_counter()
-            float(run(x0))
+            float(run(x0, *ops))
             ts.append(time.perf_counter() - t0)
         return max(min(ts) - floor, 1e-9) / STEPS
 
@@ -127,16 +130,17 @@ def main():
                     * jnp.float32(1e-12)).astype(h.dtype)
 
     # base W8 matmuls: all 7 projections, all L layers (scan over L).
-    def base_all(x):
+    def base_all(x, lay_a):
         def layer(h, i):
             for name, (k, n) in bench.proj_shapes(cfg).items():
-                w = jax.tree.map(lambda a: a[i], lay[name])
+                w = jax.tree.map(lambda a: a[i], lay_a[name])
                 h = fold(h, llama._base_matmul(widen(h, k), w,
                                                jnp.bfloat16))
             return h, ()
         h, _ = jax.lax.scan(layer, x, jnp.arange(L))
         return h
-    results["standalone_base"] = chain_scalar(base_all, x0)
+    proj_lay = {name: lay[name] for name in bench.proj_shapes(cfg)}
+    results["standalone_base"] = chain_scalar(base_all, x0, proj_lay)
     log(f"standalone_base : {results['standalone_base']*1e3:8.3f} ms/step")
 
     # pair proj deltas: every projection's tenant kernel, all layers.
@@ -144,10 +148,10 @@ def main():
     from bitdelta_tpu.ops.pallas_binary_gemm import (
         tenant_delta_matmul_pair_pallas, tenant_delta_matmul_pallas)
 
-    def delta_all(x):
+    def delta_all(x, deltas_a):
         def layer(h, i):
             for name, (k, n) in bench.proj_shapes(cfg).items():
-                d = jax.tree.map(lambda a: a[i], proj_only[name])
+                d = jax.tree.map(lambda a: a[i], deltas_a[name])
                 xin = widen(h, k)
                 if kernel == "pallas":
                     if isinstance(d, PairedBinaryDelta):
@@ -173,15 +177,13 @@ def main():
             return h, ()
         h, _ = jax.lax.scan(layer, x, jnp.arange(L))
         return h
-    results["standalone_proj_delta"] = chain_scalar(delta_all, x0)
+    results["standalone_proj_delta"] = chain_scalar(delta_all, x0,
+                                                    proj_only)
     log(f"standalone_proj_delta: "
         f"{results['standalone_proj_delta']*1e3:8.3f} ms/step")
 
     # shared lm_head matmul + its pair delta (the per-step head cost).
-    wlm = params["lm_head"]
-    dlm = deltas["lm_head"]
-
-    def head(x):
+    def head(x, wlm, dlm):
         y = jnp.matmul(x, wlm, preferred_element_type=jnp.float32)
         if kernel == "pallas":
             yd = tenant_delta_matmul_pair_pallas(
@@ -195,7 +197,8 @@ def main():
                                       dlm.scale, tenant_ids,
                                       compute_dtype=jnp.bfloat16)[:, 0]
         return (y + yd)
-    results["standalone_head"] = chain_scalar(head, x0)
+    results["standalone_head"] = chain_scalar(head, x0, params["lm_head"],
+                                              deltas["lm_head"])
     log(f"standalone_head : {results['standalone_head']*1e3:8.3f} ms/step")
 
     # flash decode attention at the step's exact cache shape.
