@@ -50,12 +50,14 @@ def serving_compiled_check(log=print) -> dict:
                                       compress_embeddings=True))
     stack = stack_tenants(cfg, base, tenants)
 
-    if jax.default_backend() == "tpu":
-        interp = contextlib.nullcontext()
-    else:
+    def mk_interp():
+        if jax.default_backend() == "tpu":
+            return contextlib.nullcontext()
         from jax.experimental.pallas import tpu as pltpu
 
-        interp = pltpu.force_tpu_interpret_mode()
+        return pltpu.force_tpu_interpret_mode()
+
+    interp = mk_interp()
 
     reqs = [Request(prompt_ids=[3, 1, 4, 1, 5], tenant_id=0,
                     max_new_tokens=4),
@@ -73,4 +75,27 @@ def serving_compiled_check(log=print) -> dict:
             f"meshed pallas engine diverged from single-device: "
             f"{got} != {want}")
     log(f"[compiled_check] pallas serving path ok: {got}")
-    return {"status": "ok", "tokens": [list(map(int, o)) for o in got]}
+
+    # W4 density path (round 5): the Pallas base-matmul kernel
+    # (ops/pallas_int4.py) must compile and serve greedy tokens equal
+    # to the XLA grouped-einsum engine over the SAME int4 base.
+    from ..research.quantized_base import quantize_base, roundtrip_base
+
+    qbase = quantize_base(base, "int4")
+    deq = roundtrip_base(base, "int4", jnp.float32)
+    tenants_w4 = [compress_model(deq, deq)]  # zero delta, scale=0
+    stack_w4 = stack_tenants(cfg, qbase, tenants_w4)
+    req4 = [Request(prompt_ids=[3, 1, 4], tenant_id=0, max_new_tokens=4)]
+    want4 = Engine(cfg, stack_w4, max_slots=1, max_seq=64,
+                   prefill_buckets=(16,), kernel="xla").generate(
+                       [Request(**vars(r)) for r in req4])
+    with mk_interp():
+        got4 = Engine(cfg, stack_w4, max_slots=1, max_seq=64,
+                      prefill_buckets=(16,), kernel="pallas").generate(
+                          [Request(**vars(r)) for r in req4])
+    if got4 != want4:
+        raise AssertionError(
+            f"W4 pallas engine diverged from XLA: {got4} != {want4}")
+    log(f"[compiled_check] W4 pallas base kernel ok: {got4}")
+    return {"status": "ok", "tokens": [list(map(int, o)) for o in got],
+            "w4_tokens": [list(map(int, o)) for o in got4]}
