@@ -1120,28 +1120,40 @@ def _shutdown(signum, _frame):
     os._exit(0)
 
 
-def _run_rung(li, ti, extra_env=None):
+def _mix_reserve():
+    """Seconds to keep for the Mixtral stage — zero when it's disabled
+    (no point starving the 32L camp for a stage that never runs)."""
+    return (MIX_RESERVE_S if os.environ.get("BENCH_MIX", "1") == "1"
+            else 0)
+
+
+def _run_rung(li, ti, extra_env=None, reserve=0.0):
     """The three decode phases + W8 plausibility recheck at one rung.
-    Returns (recs, failed) where failed is None on success."""
+    Returns (recs, failed) where failed is None on success.
+    ``reserve``: wall seconds each phase child must leave untouched
+    (the Mixtral reserve — without the cap, one slow-but-compliant
+    upgrade child could legally consume the whole reserve)."""
+    budget = lambda: max(120, _remaining() - reserve)  # noqa: E731
     recs = {}
     for phase in ("ours", "naive_bf16", "naive_w8"):
         rc, rec = run_phase(phase, li, ti, extra_env=extra_env,
-                            timeout_s=_remaining())
+                            timeout_s=budget())
         if rc != 0 or rec is None or "error" in (rec or {}):
             return recs, (phase, rc, (rec or {}).get("error", "no record"))
         recs[phase] = rec
     recs = _recheck_w8(
         recs, "naive_w8", "naive_bf16",
         lambda: run_phase("naive_w8", li, ti, extra_env=extra_env,
-                          timeout_s=_remaining()))
+                          timeout_s=budget()))
     return recs, None
 
 
-def _attach_engine(out, li, ti, extra_env=None):
+def _attach_engine(out, li, ti, extra_env=None, reserve=0.0):
     """Engine-level tok/s in its own subprocess (see phase_ours_engine);
     a failure records engine_error instead of costing the rung."""
     rc, rec = run_phase("ours_engine", li, ti, extra_env=extra_env,
-                        timeout_s=min(_remaining(), 1200))
+                        timeout_s=min(max(120, _remaining() - reserve),
+                                      1200))
     if rc == 0 and rec and "error" not in rec:
         for k in ("engine_tok_s", "engine_tok_s_best", "engine_trials"):
             out[k] = rec[k]
@@ -1237,15 +1249,16 @@ def main():
               else {"BENCH_SLAB_TRIES": "40"})
     attempt = 0
     while (srung != (L0, T0)
-           and _remaining() - MIX_RESERVE_S > UPGRADE_MIN_S):
+           and _remaining() - _mix_reserve() > UPGRADE_MIN_S):
         attempt += 1
         log(f"=== north-star upgrade attempt {attempt}: {L0}L/T{T0} "
-            f"({_remaining():.0f}s left, {MIX_RESERVE_S}s reserved) ===")
-        recs, failed = _run_rung(L0, T0, extra_env=up_env)
+            f"({_remaining():.0f}s left, {_mix_reserve()}s reserved) ===")
+        recs, failed = _run_rung(L0, T0, extra_env=up_env,
+                                 reserve=_mix_reserve())
         if failed:
             log(f"  upgrade attempt {attempt} failed at {failed[0]} "
                 f"rc={failed[1]}: {failed[2]}")
-            if _remaining() - MIX_RESERVE_S > UPGRADE_MIN_S + 120:
+            if _remaining() - _mix_reserve() > UPGRADE_MIN_S + 120:
                 time.sleep(120)
             continue
         up = combine(recs, L0, T0,
@@ -1261,7 +1274,8 @@ def main():
         emit(out)
         if RUN_ENGINE:
             log(f"=== engine row at {L0}L/T{T0} ===")
-            _attach_engine(out, L0, T0, extra_env=up_env)
+            _attach_engine(out, L0, T0, extra_env=up_env,
+                           reserve=_mix_reserve())
             emit(out)
 
     # Stage 4: Mixtral ladder (E=8 first) with whatever budget is left.

@@ -280,6 +280,12 @@ class Engine:
         # OVERLAPPED with chunk compute instead of serializing the
         # admission with a 30-140 ms relay round-trip.
         self._pending_firsts = None
+        # Finish events produced by a deferred-firsts flush (first token
+        # was a stop / budget already spent). Queued rather than
+        # returned so no call site can drop them (an _admit_batch-
+        # triggered flush has no event consumer of its own); drained
+        # into the next step()/pump()/_consume_chunk() return.
+        self._flush_events: List[StepEvent] = []
         self._inflight: List[_ChunkTicket] = []
         self._step_mutex = threading.Lock()  # serializes dispatch/consume
         # Shared by every _CompileOnce wrapper in this engine: first
@@ -905,7 +911,7 @@ class Engine:
                 self._dirty[slot] = True
             self._pending_firsts = first_dev
 
-    def _flush_pending_firsts(self) -> List[StepEvent]:
+    def _flush_pending_firsts(self) -> None:
         """Resolve a deferred batched-admission first-token vector: ONE
         host readback (outside the lock — by now it overlaps in-flight
         chunk compute), fill each pending slot's ``generated[0]`` /
@@ -914,15 +920,19 @@ class Engine:
         any speculated in-flight chunk tokens for that lane are
         discarded at consume (the lane burned at most one chunk of
         device steps — the rare-case price of not syncing admissions).
+
+        Finish events are QUEUED on ``self._flush_events`` (drained by
+        the next step()/pump()/_consume_chunk) so no call site — in
+        particular an _admit_batch-triggered flush — can drop them.
         """
         dev = self._pending_firsts
         if dev is None:
-            return []
+            return
         firsts = np.asarray(dev)               # host sync, no lock held
-        events: List[StepEvent] = []
+        events = self._flush_events            # appended under the lock
         with self._lock:
             if self._pending_firsts is not dev:
-                return []                      # concurrent flush won
+                return                         # concurrent flush won
             self._pending_firsts = None
             for i, st in enumerate(self.slots):
                 if not st.pending_first:
@@ -944,7 +954,11 @@ class Engine:
                         slot=i, request_id=st.request.request_id,
                         token=st.generated[-1], finished=True,
                         finish_reason=reason, new_token=False))
-        return events
+
+    def _drain_flush_events(self) -> List[StepEvent]:
+        with self._lock:
+            evs, self._flush_events = self._flush_events, []
+            return evs
 
     def _pick_slot(self, free: List[int], tenant_id: int) -> int:
         """Prefer a free slot adjacent to an active slot of the same
@@ -998,6 +1012,11 @@ class Engine:
                                       jnp.int32(len(ids)), slot)
             st = self.slots[slot]
             st.active = True
+            # A slot freed by cancel() while its batched-admission first
+            # token was still deferred must not inherit the stale flag —
+            # the flush would inject the old request's token into this
+            # one's stream.
+            st.pending_first = False
             st.tenant_id = req.tenant_id
             st.request = req
             st.generated = [first]
@@ -1118,7 +1137,8 @@ class Engine:
             # precede this chunk's in every pending lane's stream, and
             # a first-token stop/length bumps the epoch so this ticket
             # is skipped for that lane (no desync assertion).
-            events: List[StepEvent] = list(self._flush_pending_firsts())
+            self._flush_pending_firsts()
+            events: List[StepEvent] = self._drain_flush_events()
             toks = np.asarray(ticket.toks)  # (k, B) — ONE host sync,
             # deliberately OUTSIDE the engine lock: admissions and
             # cancels proceed while the device chunk drains.
@@ -1162,7 +1182,7 @@ class Engine:
         call; completion info rides the last one). Any chunks left in
         flight by :meth:`pump` are drained first."""
         with self._step_mutex:
-            events: List[StepEvent] = []
+            events: List[StepEvent] = self._drain_flush_events()
             while self._inflight:
                 events += self._consume_chunk(self._inflight.pop(0))
             ticket, pre = self._dispatch_chunk()
@@ -1185,6 +1205,7 @@ class Engine:
         returns no events (its chunk is still in flight)."""
         with self._step_mutex:
             ticket, events = self._dispatch_chunk()
+            events = self._drain_flush_events() + events
             if ticket is not None:
                 self._inflight.append(ticket)
             if self._inflight and (ticket is None

@@ -11,7 +11,9 @@ bench.build_serve_world shapes) and produces two views:
 2. STANDALONE chains — each component at its exact step shapes in
    isolation (pure-rate cost, no overlap):
      base W8 matmuls, pair proj deltas, flash decode attention,
-     shared lm_head matmul, lm_head pair delta, embed delta gather.
+     shared lm_head matmul + lm_head pair delta. (The embed delta
+     gather and norms/rotary/sampling are NOT separately chained —
+     they are the printed glue residual.)
 
 The BENCHNOTES table is: full == sum(standalone) - overlap_credit,
 with the subtractive column naming each component's *marginal* price.

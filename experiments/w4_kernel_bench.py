@@ -46,17 +46,14 @@ def log(m):
 
 
 def measure_floor():
-    @jax.jit
-    def null(x):
-        return x.sum()
-    x = jnp.ones((8,), jnp.float32)
-    float(null(x))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        float(null(x))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+    """The bench harness's floor measurement (single methodology — if
+    the BENCHNOTES floor-correction recipe changes there, these numbers
+    stay comparable to bench-produced rows)."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    return bench.measure_floor()
 
 
 def main():

@@ -494,3 +494,51 @@ def test_deferred_first_token_reuses_slot_after_flush_finish():
     ])
     assert outs[0] == []
     assert outs[1] == _manual_greedy(cfg, base, tenants[2], prompt, 5)
+
+
+def test_cancel_pending_then_serial_submit_no_stale_first():
+    """Regression: a slot freed by cancel() while its batched-admission
+    first token was still deferred must not leak that token into a
+    request serially admitted into the same slot."""
+    cfg, base, tenants, stack = _make_world()
+    prompt = [5, 6, 7]
+    eng = Engine(cfg, stack, max_slots=1, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla", decode_chunk=4)
+    r1 = Request(prompt_ids=prompt, tenant_id=0, max_new_tokens=6,
+                 request_id="victim")
+    assert eng._submit_batch([r1])          # pending_first set
+    assert eng.cancel("victim")
+    slot = eng.submit(Request(prompt_ids=prompt, tenant_id=1,
+                              max_new_tokens=4))
+    toks = [eng.slots[slot].request.first_token]
+    for _ in range(30):
+        evs = eng.step()
+        toks += [e.token for e in evs if e.new_token]
+        if any(e.finished for e in evs):
+            break
+    manual = _manual_greedy(cfg, base, tenants[1], prompt, 4)
+    assert toks == manual
+    assert eng.slots[slot].request.first_token == manual[0]
+
+
+def test_second_burst_flush_preserves_finish_events():
+    """Regression: a flush triggered by a LATER _submit_batch (not by a
+    consume) queued finish events that used to be dropped — the
+    finished=True event for a first-token-finished request must still
+    reach the step/pump consumer."""
+    cfg, base, tenants, stack = _make_world()
+    prompt = [5, 6, 7]
+    eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla", decode_chunk=4)
+    a = eng._submit_batch([Request(prompt_ids=prompt, tenant_id=0,
+                                   max_new_tokens=1)])
+    assert len(a) == 1
+    b = eng._submit_batch([Request(prompt_ids=prompt, tenant_id=1,
+                                   max_new_tokens=2)])
+    assert len(b) == 1
+    finished = []
+    for _ in range(30):
+        finished += [e for e in eng.pump() if e.finished]
+        if len(finished) >= 2:
+            break
+    assert {e.slot for e in finished} == {a[0][0], b[0][0]}
