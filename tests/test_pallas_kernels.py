@@ -424,7 +424,11 @@ def test_to_pair_layout_rebuilds_full_k_colsum_under_tp():
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("m,k,n", [(8, 256, 256), (1, 128, 128),
-                                   (6, 512, 384), (8, 384, 128)])
+                                   (6, 512, 384), (8, 384, 128),
+                                   # K=2048: bk=1024, 2 k-grid steps —
+                                   # covers the cross-step accumulator
+                                   # (real shapes run this path).
+                                   (4, 2048, 256)])
 def test_w4_matmul_pallas_matches_int4_matmul(m, k, n):
     from bitdelta_tpu.ops.pallas_int4 import w4_matmul_pallas
     from bitdelta_tpu.research.quantized_base import (dequantize_int4,
