@@ -34,6 +34,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 #     | awk '$2=="call" && $1+0>=5 {split($3,a,"["); print a[1]}' | sort -u
 _SLOW = {
     "tests/test_bench_helpers.py::test_make_chained_matches_eager_scan",
+    "tests/test_bench_helpers.py::test_staged_parent_end_to_end_smoke",
     "tests/test_cli.py::test_mixtral_train_serve_eval_pipeline",
     "tests/test_cli.py::test_serve_cli_mesh_smoke",
     "tests/test_cli.py::test_train_serve_eval_with_compressed_embeddings",

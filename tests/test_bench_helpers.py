@@ -191,3 +191,37 @@ def test_make_chained_matches_eager_scan():
         assert got == want
     finally:
         bench.STEPS, bench.MAX_SEQ = old_steps, old_seq
+
+
+def test_staged_parent_end_to_end_smoke():
+    """The driver-facing contract, pinned: a full parent run (shrunk
+    world, CPU) exits 0, emits multiple staged records (bootstrap ->
+    safe rung -> upgrade), and the LAST line parses with the headline
+    keys and the undegraded north-star shape."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "BENCH_SHRINK": "32",
+           "BENCH_STEPS": "2", "BENCH_TRIALS": "1", "BENCH_ENGINE": "0",
+           "BENCH_MIX": "0", "BENCH_WALL_BUDGET_S": "0",
+           "BENCH_COMPILED_CHECK": "1"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run([_sys.executable, os.path.join(root, "bench.py")],
+                       env=env, capture_output=True, text=True,
+                       timeout=900)
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [l for l in p.stdout.strip().splitlines()]
+    recs = [json.loads(l) for l in lines if l.startswith("{")]
+    assert len(recs) >= 3          # bootstrap, safe rung, upgrade
+    final = recs[-1]
+    for k in ("metric", "value", "unit", "vs_baseline",
+              "compiled_check", "num_layers", "tenants"):
+        assert k in final, k
+    assert final["compiled_check"] == "ok"
+    assert final["num_layers"] == 32 and final["tenants"] == 6
+    assert "degraded_from_layers" not in final
+    assert final["value"] > 0
+    # The safe rung emitted earlier and was a real measurement too.
+    assert recs[1]["value"] > 0 and recs[1]["num_layers"] == 16
