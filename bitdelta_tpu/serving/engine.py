@@ -93,6 +93,10 @@ class Request:
     # read it from here rather than from the slot, which may already be
     # reused by the time a lock-free submit returns.
     first_token: Optional[int] = None
+    # Set by the engine when cancel() consumed this request mid-prefill:
+    # generate() must not re-queue it (the _cancelled rid was already
+    # spent, so a re-admission would run to completion).
+    cancelled: bool = False
 
 
 @dataclasses.dataclass
@@ -292,6 +296,15 @@ class Engine:
         # calls (trace+lower+compile) serialize engine-wide, compiled
         # dispatches go through lock-free (see _CompileOnce).
         self._compile_lock = threading.Lock()
+        # Guards the jit-wrapper memo dicts only (construction is
+        # cheap); see _chunk_jit.
+        self._jit_cache_lock = threading.Lock()
+        # Serializes _admit_batch's flush -> prefill -> pending-firsts
+        # assignment: two concurrent batched admissions could otherwise
+        # both pass the flush and overwrite _pending_firsts, making the
+        # first batch's slots flush first tokens from the SECOND
+        # batch's vector (dummy-row samples).
+        self._batch_mutex = threading.Lock()
         self._rng = jax.random.PRNGKey(seed)
         self._lock = threading.Lock()
         self._cancelled: set = set()  # rids cancelled mid-prefill
@@ -350,15 +363,8 @@ class Engine:
             check_rep=False)
 
     def _build_jits(self):
-        cfg, dtype, kernel = self.cfg, self.compute_dtype, self.kernel
-        max_seq = self.max_seq
-
-        from .sampling import sample_tokens
-
-        model = self.model
-
         step_impl = None
-        if (kernel == "pallas" and self.mesh is not None
+        if (self.kernel == "pallas" and self.mesh is not None
                 and self.mesh.size > 1):
             step_impl = self._make_tp_decode()
         self._step_impl = step_impl
@@ -435,8 +441,20 @@ class Engine:
         lanes and past the early exit, so the host consume loop can
         assert device parking agrees with its own budget/stop
         bookkeeping instead of silently emitting garbage."""
-        if k in self._chunk_fns:
-            return self._chunk_fns[k]
+        # Memoize under a dedicated (fast) cache lock — NOT the
+        # compile lock, which a cold _CompileOnce holds for its whole
+        # 1-5 min remote compile and would stall warm lookups here.
+        # An unlocked check-then-insert
+        # let two concurrent cold callers each build (and later
+        # remote-compile) their own program object for the same k.
+        # Construction here is cheap; compilation happens inside
+        # _CompileOnce on the first call.
+        with self._jit_cache_lock:
+            if k in self._chunk_fns:
+                return self._chunk_fns[k]
+            return self._chunk_jit_build(k)
+
+    def _chunk_jit_build(self, k: int):
         cfg, dtype, kernel = self.cfg, self.compute_dtype, self.kernel
         model, step_impl = self.model, self._step_impl
 
@@ -546,8 +564,12 @@ class Engine:
             check_rep=False)
 
     def _prefill_jit(self, bucket: int):
-        if bucket in self._prefill_fns:
-            return self._prefill_fns[bucket]
+        with self._jit_cache_lock:  # see _chunk_jit's memoization note
+            if bucket in self._prefill_fns:
+                return self._prefill_fns[bucket]
+            return self._prefill_jit_build(bucket)
+
+    def _prefill_jit_build(self, bucket: int):
         cfg, dtype, max_seq = self.cfg, self.compute_dtype, self.max_seq
 
         kernel = self.kernel
@@ -605,8 +627,12 @@ class Engine:
         generate(); single submits keep the B=1 program. Not built for
         the shard_map TP prefill path (B=1 there) — callers fall back
         to serial admission when that path is active."""
-        if bucket in self._prefill_batch_fns:
-            return self._prefill_batch_fns[bucket]
+        with self._jit_cache_lock:  # see _chunk_jit's memoization note
+            if bucket in self._prefill_batch_fns:
+                return self._prefill_batch_fns[bucket]
+            return self._prefill_batch_jit_build(bucket)
+
+    def _prefill_batch_jit_build(self, bucket: int):
         cfg, dtype, max_seq = self.cfg, self.compute_dtype, self.max_seq
         kernel = self.kernel
         if self.mesh is not None and self.mesh.size > 1 \
@@ -774,16 +800,23 @@ class Engine:
         try:
             self._admit(slot, req)
         finally:
-            st = self.slots[slot]
-            st.reserved = False
-            if not st.active:
-                # Failed or cancelled admission: leave no stale Request
-                # on the (free) slot and no leaked rid in _cancelled
-                # (the consumption point in _admit is never reached when
-                # the prefill itself raises).
-                st.request = None
-                if req.request_id is not None:
-                    with self._lock:
+            # One atomic cleanup under the lock. While ``reserved`` was
+            # True no other thread could claim the slot (free_slots
+            # excludes it), so the slot is still ours here; the old
+            # UNLOCKED sequence cleared reserved first and could then
+            # clobber a concurrent re-claimer's Request (losing its
+            # cancel() visibility). ``st.request`` is ``req`` (normal),
+            # or None (cancelled-mid-prefill path already cleared it).
+            with self._lock:
+                st = self.slots[slot]
+                st.reserved = False
+                if not st.active and st.request is req:
+                    # Failed admission: leave no stale Request on the
+                    # (free) slot and no leaked rid in _cancelled (the
+                    # consumption point in _admit is never reached when
+                    # the prefill itself raises).
+                    st.request = None
+                    if req.request_id is not None:
                         self._cancelled.discard(req.request_id)
         return slot
 
@@ -794,6 +827,10 @@ class Engine:
                 f"[0, {self.stack.num_tenants})")
         if not req.prompt_ids:
             raise ValueError("empty prompt")
+        if req.max_new_tokens < 1:
+            raise ValueError(
+                f"max_new_tokens must be >= 1 (got {req.max_new_tokens};"
+                f" admission always produces the prefill-sampled token)")
         if len(req.prompt_ids) > self.max_seq - 1:
             raise ValueError(f"prompt too long: {len(req.prompt_ids)} > "
                              f"{self.max_seq - 1}")
@@ -843,6 +880,10 @@ class Engine:
                 if self.slots[s].active and self.slots[s].request is r]
 
     def _admit_batch(self, batch):
+        with self._batch_mutex:
+            self._admit_batch_locked(batch)
+
+    def _admit_batch_locked(self, batch):
         B = self.max_slots
         bucket = max(next((b for b in self.prefill_buckets
                            if b >= len(req.prompt_ids)), self.max_seq)
@@ -884,6 +925,7 @@ class Engine:
                 if (req.request_id is not None
                         and req.request_id in self._cancelled):
                     self._cancelled.discard(req.request_id)
+                    req.cancelled = True
                     self.slots[slot].request = None
                     continue
                 mask[slot] = True
@@ -929,11 +971,14 @@ class Engine:
         if dev is None:
             return
         firsts = np.asarray(dev)               # host sync, no lock held
-        events = self._flush_events            # appended under the lock
         with self._lock:
             if self._pending_firsts is not dev:
                 return                         # concurrent flush won
             self._pending_firsts = None
+            # Capture INSIDE the lock: a concurrent _drain_flush_events
+            # swaps the list, and events appended to a pre-swap capture
+            # would never be delivered.
+            events = self._flush_events
             for i, st in enumerate(self.slots):
                 if not st.pending_first:
                     continue
@@ -1000,6 +1045,7 @@ class Engine:
                     and req.request_id in self._cancelled):
                 # Client vanished while the prefill ran: never activate.
                 self._cancelled.discard(req.request_id)
+                req.cancelled = True
                 self.slots[slot].request = None
                 return
             # The insert donates the live cache buffer — must not race a
@@ -1233,10 +1279,12 @@ class Engine:
                 if self._tp_serial_admission:
                     idx, req = pending.pop(0)
                     try:
-                        slot_to_req[self.submit(req)] = idx
+                        slot = self.submit(req)
                     except EngineFullError:
                         pending.insert(0, (idx, req))
                         return
+                    if not req.cancelled:
+                        slot_to_req[slot] = idx
                     continue
                 take = min(len(pending), len(self.free_slots()))
                 taken = [pending.pop(0) for _ in range(take)]
@@ -1245,7 +1293,9 @@ class Engine:
                 for idx, r in reversed(taken):
                     if id(r) in slot_by_req:
                         slot_to_req[slot_by_req[id(r)]] = idx
-                    else:
+                    elif not r.cancelled:
+                        # cancel() consumed mid-prefill requests stay
+                        # out (re-queueing would defeat the cancel).
                         pending.insert(0, (idx, r))
                 if len(admitted) < take:
                     return
@@ -1253,12 +1303,23 @@ class Engine:
         admit_pending()
         while slot_to_req:
             for ev in self.pump():
-                if ev.finished:
+                if ev.finished and ev.slot in slot_to_req:
                     idx = slot_to_req.pop(ev.slot)
                     st = self.slots[ev.slot]
                     gen = st.generated
                     if ev.finish_reason == "stop":
                         gen = gen[:-1]  # drop the stop token itself
                     outputs[idx] = gen
+            # cancel() deactivates a lane WITHOUT emitting an event —
+            # reap such slots (normal finishes were popped above in the
+            # same pump that deactivated them) so the loop can't spin
+            # forever; tokens generated before the cancel are returned.
+            for s in [s for s in slot_to_req
+                      if not self.slots[s].active
+                      and not self.slots[s].pending_first
+                      and not self.slots[s].reserved]:
+                idx = slot_to_req.pop(s)
+                if outputs[idx] is None:
+                    outputs[idx] = list(self.slots[s].generated)
             admit_pending()
         return outputs

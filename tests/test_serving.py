@@ -542,3 +542,32 @@ def test_second_burst_flush_preserves_finish_events():
         if len(finished) >= 2:
             break
     assert {e.slot for e in finished} == {a[0][0], b[0][0]}
+
+
+def test_generate_unblocks_on_midstream_cancel():
+    """Regression: cancel() deactivates a lane without emitting an
+    event; generate() used to spin forever waiting for one. The reap
+    in its pump loop must return the pre-cancel tokens instead."""
+    import threading
+    import time as _time
+
+    cfg, base, tenants, stack = _make_world()
+    eng = Engine(cfg, stack, max_slots=2, max_seq=64,
+                 prefill_buckets=(16,), kernel="xla", decode_chunk=2)
+    req = Request(prompt_ids=[1, 2], tenant_id=0, max_new_tokens=40,
+                  request_id="c")
+
+    def canceler():
+        for _ in range(400):
+            if any(s.active for s in eng.slots):
+                break
+            _time.sleep(0.02)
+        _time.sleep(0.1)
+        eng.cancel("c")
+
+    t = threading.Thread(target=canceler)
+    t.start()
+    outs = eng.generate([req])   # pre-fix: hangs forever
+    t.join()
+    assert outs[0] is not None
+    assert len(outs[0]) <= 40
