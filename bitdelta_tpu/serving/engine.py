@@ -1092,6 +1092,13 @@ class Engine:
         if len(st.generated) >= req.max_new_tokens:
             return "length"
         if st.prompt_len + len(st.generated) >= self.max_seq - 1:
+            # Deliberately conservative by one slot: the final sampled
+            # token is never written back to the cache, so index
+            # max_seq-1 technically fits one more step — but an
+            # off-by-one here scatter-clamps SILENTLY (jnp .at[].set
+            # clamps OOB indices), corrupting the newest cache row.
+            # One token of headroom is the cheap safe margin; mirrored
+            # in _slot_budget so host and device stay consistent.
             return "length"
         return None
 
